@@ -1,0 +1,59 @@
+"""SparkSession factory.
+
+One place to own the configuration that the scale story depends on:
+Arrow-vectorized Python interop, AQE (incl. skew-join splitting), UTC
+session time (the reference stores naive-UTC timestamps,
+/root/reference/database.py:20-22), and a shuffle-partition count sized to
+the core count rather than the 200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Arrow batches carry multi-MB image payloads through pandas UDFs; cap rows
+# per batch so a batch stays well under executor memory even at 128x128 RGB.
+ARROW_MAX_RECORDS = 2048
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = "newscrawler-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the SparkSession with the engine's standard config.
+
+    ``cores`` pins ``local[N]`` — used by the bench to run the identical job
+    at two parallelism levels (local[8] vs local[32]) for the scaling-
+    efficiency evidence. If a session already exists it is returned as-is
+    (Spark cannot change master in-process), so benches must stop() between
+    levels.
+    """
+    n = cores or default_parallelism()
+    master = os.environ.get("SPARK_MASTER", f"local[{n}]")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(n, 8)))
+        .config("spark.default.parallelism", str(n))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_MAX_RECORDS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "12g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
