@@ -1,0 +1,252 @@
+"""Deterministic synthetic corpus generator (no external data).
+
+Generates the fixtures from FIXTURES.md:
+
+1. ``payload`` — the authoritative image+caption table, schema exactly
+   ``(image_id:string, bytes:binary, w:int, h:int, fmt:string,
+   caption:string, phash:long)`` per BASELINE.json input_hint.
+2. ``seeds`` — seed URL list with Zipfian host skew, dirty URL variants,
+   and ~10% duplicate URLs (reference analogs: category scrape output at
+   /root/reference/services/apis/google_news_crawler.py:239-252; dirty
+   variants exercise utils/url_utils.py:26-29 semantics).
+3. ``expand_links`` — the deterministic link-expansion function (the
+   "Full Coverage" analog, google_news_crawler.py:273-326), shared by the
+   engine's fetch UDF and the sequential oracle.
+4. ``blocklist_hosts`` — excluded-domain gate fixture
+   (config_template.py:29-35 analog), includes a hot host.
+
+Every row is a **pure function of (seed, row index)** — generation through
+``mapInPandas`` is partitioning-invariant and bit-identical to the local
+pandas twin used by the oracle. The 10^10-URL frontier is represented
+structurally: URLs are hash-derived strings referencing payload rows by
+``pmod(url_hash, n_payload)``, so frontier scale is decoupled from stored
+image bytes.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from . import codecs
+from .xxh64 import xxh64_long
+
+EPOCH = dt.datetime(2024, 1, 1)
+CATEGORIES = [  # the reference's 8 default categories (main.py:177-178)
+    "general", "world", "business", "technology",
+    "entertainment", "sports", "science", "health",
+]
+SIZES = np.array([16, 32, 64, 128])
+FMTS = ["ppm", "bmp", "qpng"]
+ZIPF_S = 1.2
+VOCAB = (
+    "news report world market update story analysis government policy economy "
+    "science research health sports match team player season technology data "
+    "cloud model energy climate city council vote election leader summit trade "
+    "growth price index bank rate media film music award festival travel storm "
+    "coast rescue study school university court ruling law reform deal merger"
+).split()
+
+PAYLOAD_SCHEMA = (
+    "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long"
+)
+SEEDS_SCHEMA = (
+    "url string, priority double, discovered_at timestamp, category string, language string"
+)
+
+
+# ------------------------------------------------------------------ hosts
+
+
+def _zipf_cdf(n_hosts: int) -> np.ndarray:
+    w = 1.0 / np.power(np.arange(1, n_hosts + 1, dtype=np.float64), ZIPF_S)
+    return np.cumsum(w / w.sum())
+
+
+def host_name(rank: int) -> str:
+    return f"host{rank:04d}.example{rank % 7}.com"
+
+
+def blocklist_hosts(seed: int, n_hosts: int) -> list[str]:
+    """~8 excluded hosts, always including a hot one (rank 1)."""
+    rng = np.random.default_rng((seed, 9))
+    picks = {1} | {int(r) for r in rng.integers(2, max(3, n_hosts), size=7)}
+    return sorted(host_name(r) for r in picks)
+
+
+# ----------------------------------------------------------------- payload
+
+
+def _pixels(i: int, w: int, h: int, rng: np.random.Generator) -> np.ndarray:
+    x = np.arange(w, dtype=np.int32)
+    y = np.arange(h, dtype=np.int32)
+    base = (x[None, :] * 3 + y[:, None] * 5 + i) % 256
+    off = np.array([0, 85, 170], dtype=np.int32)
+    noise = rng.integers(0, 32, size=(h, w, 3), dtype=np.int32)
+    return ((base[:, :, None] + off[None, None, :] + noise) % 256).astype(np.uint8)
+
+
+def payload_row(i: int, seed: int) -> tuple:
+    rng = np.random.default_rng((seed, 0, i))
+    w = int(SIZES[rng.integers(0, len(SIZES))])
+    h = int(SIZES[rng.integers(0, len(SIZES))])
+    fmt = FMTS[int(rng.integers(0, len(FMTS)))]
+    arr = _pixels(i, w, h, rng)
+    data = codecs.encode(arr, fmt)
+    target = int(rng.integers(50, 2001))
+    words: list[str] = []
+    ln = -1
+    while ln < target:
+        words.append(VOCAB[int(rng.integers(0, len(VOCAB)))])
+        ln += len(words[-1]) + 1
+    caption = " ".join(words)
+    phash = codecs.average_phash(codecs.decode(data, fmt))
+    return (f"img-{i:012d}", data, w, h, fmt, caption, phash)
+
+
+def expected_pixels(i: int, seed: int) -> np.ndarray:
+    """Re-derive the source pixels for payload row i (validation oracle)."""
+    rng = np.random.default_rng((seed, 0, i))
+    w = int(SIZES[rng.integers(0, len(SIZES))])
+    h = int(SIZES[rng.integers(0, len(SIZES))])
+    _ = rng.integers(0, len(FMTS))
+    return _pixels(i, w, h, rng)
+
+
+def gen_payload_pdf(indices: np.ndarray, seed: int) -> pd.DataFrame:
+    rows = [payload_row(int(i), seed) for i in indices]
+    return pd.DataFrame(
+        rows, columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+    )
+
+
+def gen_payload_spark(spark, n: int, seed: int = 42):
+    """Distributed payload generation: range → mapInPandas (scales linearly)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield gen_payload_pdf(pdf["id"].to_numpy(), seed)
+
+    parts = max(8, min(256, n // 512 or 1))
+    return spark.range(0, n, numPartitions=parts).mapInPandas(gen, PAYLOAD_SCHEMA)
+
+
+# ------------------------------------------------------------------- seeds
+
+
+def base_url(i: int, seed: int, n_hosts: int, cdf: np.ndarray | None = None) -> str:
+    rng = np.random.default_rng((seed, 2, i))
+    if cdf is None:
+        cdf = _zipf_cdf(n_hosts)
+    rank = int(np.searchsorted(cdf, rng.random())) + 1
+    return f"https://{host_name(rank)}/a/{i}"
+
+
+def _dirty(url: str, rng: np.random.Generator) -> str:
+    v = int(rng.integers(0, 5))
+    if v == 0:
+        return url.replace("https://", "HTTPS://WWW.")
+    if v == 1:
+        return url.replace(".com/", ".com:443/")
+    if v == 2:
+        return url + "/"
+    if v == 3:
+        return url + "?utm_source=feed&utm_medium=rss"
+    return url + "#section-1"
+
+
+def seed_row(i: int, seed: int, n_hosts: int, cdf: np.ndarray) -> tuple:
+    rng = np.random.default_rng((seed, 1, i))
+    if i > 0 and rng.random() < 0.10:  # ~10% duplicates of an earlier URL
+        j = int(rng.integers(0, i))
+        url = base_url(j, seed, n_hosts, cdf)
+    else:
+        url = base_url(i, seed, n_hosts, cdf)
+    if rng.random() < 0.05:
+        url = _dirty(url, rng)
+    priority = float(rng.random())
+    discovered_at = EPOCH + dt.timedelta(seconds=i)
+    category = CATEGORIES[int(rng.integers(0, len(CATEGORIES)))]
+    return (url, priority, discovered_at, category, "en")
+
+
+def gen_seeds_pdf(indices: np.ndarray, seed: int, n_hosts: int) -> pd.DataFrame:
+    cdf = _zipf_cdf(n_hosts)
+    rows = [seed_row(int(i), seed, n_hosts, cdf) for i in indices]
+    return pd.DataFrame(
+        rows, columns=["url", "priority", "discovered_at", "category", "language"]
+    )
+
+
+def gen_seeds_spark(spark, n: int, seed: int = 42, n_hosts: int = 100):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield gen_seeds_pdf(pdf["id"].to_numpy(), seed, n_hosts)
+
+    parts = max(8, min(256, n // 512 or 1))
+    return spark.range(0, n, numPartitions=parts).mapInPandas(gen, SEEDS_SCHEMA)
+
+
+# ----------------------------------------------------------- link expansion
+
+
+def expand_links(url_hash: int, seed: int, n_hosts: int, n_seed_urls: int) -> list[str]:
+    """Deterministic discovered-URL expansion for a fetched page.
+
+    Pure function of (url_hash, seed): ~30% of children point at existing
+    seed URLs (already-seen pressure), ~2% at blocklisted hosts, the rest
+    are fresh hash-derived URLs. Both the engine's fetch UDF and the
+    sequential oracle call exactly this function.
+    """
+    h0 = xxh64_long(url_hash, seed & 0x7FFFFFFF)
+    n_out = (h0 & 0x7) % 6  # 0..5 children
+    out: list[str] = []
+    cdf = _zipf_cdf(n_hosts)
+    for k in range(n_out):
+        hk = xxh64_long(h0, 1000 + k) & 0x7FFFFFFFFFFFFFFF
+        sel = hk % 100
+        if sel < 30 and n_seed_urls > 0:
+            out.append(base_url(hk % n_seed_urls, seed, n_hosts, cdf))
+        elif sel < 32:
+            blocked = blocklist_hosts(seed, n_hosts)
+            out.append(f"https://{blocked[hk % len(blocked)]}/x/{hk % 10_000}")
+        else:
+            rank = int(np.searchsorted(cdf, (hk % 10_000) / 10_000.0)) + 1
+            out.append(f"https://{host_name(rank)}/d/{hk % 1_000_000_007}")
+    return out
+
+
+# --------------------------------------------------------- fetch simulation
+
+
+def fetch_status(url_hash: int, seed: int) -> int:
+    """Deterministic simulated HTTP status: ~1.5% 403, ~1.5% 429, else 200.
+
+    Mirrors the reference's failure-handling paths
+    (/root/reference/utils/article_extractor.py:361-369) with failures
+    derived from url_hash so engine and oracle see identical outcomes.
+    """
+    h = xxh64_long(url_hash, 7 + (seed & 0xFFFF)) & 0x7FFFFFFFFFFFFFFF
+    m = h % 1000
+    if m < 15:
+        return 403
+    if m < 30:
+        return 429
+    return 200
+
+
+POLITENESS = {
+    # reference constants: scraping_config.py:6-16
+    "min_interval_s": 2.0,      # domain_rate_limit
+    "batch_interval_s": 60.0,   # the 60s sliding window -> one epoch
+    "max_retries": 3,
+    "backoff_batches": [1, 2, 4],  # 403/429 penalty, in epochs
+}
+
+
+def host_quota() -> int:
+    """Fetches allowed per host per epoch = floor(window / min_interval)."""
+    return int(POLITENESS["batch_interval_s"] / POLITENESS["min_interval_s"])

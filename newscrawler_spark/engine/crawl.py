@@ -1,0 +1,506 @@
+"""The crawl frontier + fetch scheduler — the heart of the engine.
+
+One drain epoch re-expresses one `/crawlnews` request of the reference
+(/root/reference/main.py:163-255) as a deterministic micro-batch dataflow:
+
+    eligible  = frontier WHERE not_before <= epoch
+    survivors = per-host politeness quota via SALTED two-phase window rank
+    batch     = global top-K of survivors (priority desc, discovered_at asc,
+                url_hash asc — fully deterministic tie-breaks)
+    fetch     = simulated HTTP status + payload join + decode/validate in a
+                single vectorized pandas UDF (Arrow batches, no per-row
+                Python outside the UDF)
+    commit    = store MERGE, seen append, frontier delete+insert, host_state
+                MERGE, fetch_log append (per-bucket lineage) — one atomic
+                checkpoint per epoch, resumable from any checkpoint.
+
+Determinism contract (shared with tests/oracle.py): every scheduling choice
+is a pure function of the committed state, so a parallel run at any
+partitioning and the sequential oracle emit the *same crawl order* and end
+with the *same seen set* — the correctness gates of BASELINE.json.
+
+Politeness model: the reference's DomainRateLimiter enforces ≥2 s between
+same-host hits inside a 60 s sliding window
+(/root/reference/utils/article_extractor.py:77-108, scraping_config.py:8).
+An epoch models one 60 s window, so a host may be fetched at most
+floor(60/2)=30 times per epoch — same sustained per-host rate, expressed as
+a per-epoch quota that a dataflow engine can enforce with a window rank
+instead of a wall clock.
+
+Skew: hosts are Zipfian, so Window.partitionBy(host) alone would put a hot
+host's millions of frontier rows in one task. The quota rank therefore runs
+in two phases — phase 1 ranks within (host, salt) where
+salt = pmod(url_hash, S) and keeps only rank<=quota (a sound
+overapproximation, <= S*quota rows per host survive), phase 2 ranks those
+few survivors exactly per host. Identical result, bounded task size.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import codecs, datagen
+from ..tablelib import Catalog
+from ..urlnorm import with_url_identity
+
+FRONTIER_DDL = (
+    "url string, canonical_url string, host string, url_hash long, host_hash long, "
+    "bucket int, priority double, discovered_at timestamp, category string, "
+    "language string, retry_count int, not_before int"
+)
+SEEN_DDL = "url_hash long, bucket int"
+STORE_DDL = (
+    "url_hash long, bucket int, host string, image_id string, caption string, "
+    "phash long, w int, h int, fmt string, psnr double, first_epoch int, last_epoch int"
+)
+HOST_STATE_DDL = "host string, host_hash long, bucket int, last_epoch int, fetch_count long"
+FETCH_LOG_DDL = (
+    "epoch int, bucket int, n_fetched long, n_stored long, n_rejected long, "
+    "n_invalid long, n_retry long, n_dead long, n_discovered long, n_new_frontier long"
+)
+ORDER_DDL = "epoch int, seq long, url_hash long, bucket int"
+
+def _epoch_discovery_ts(epoch: int):
+    """discovered_at stamped on URLs found during ``epoch`` (deterministic)."""
+    import datetime as _dt
+
+    return datagen.EPOCH + _dt.timedelta(
+        seconds=(epoch + 1) * datagen.POLITENESS["batch_interval_s"]
+    )
+
+
+def rank_keys():
+    """The crawl priority order with fully deterministic tie-breaks."""
+    return [
+        F.col("priority").desc(),
+        F.col("discovered_at").asc(),
+        F.col("url_hash").asc(),
+    ]
+
+
+@dataclass
+class CrawlConfig:
+    seed: int = 42
+    n_hosts: int = 100
+    n_payload: int = 1000
+    n_seed_urls: int = 1000      # seed-list size (link expansion references it)
+    bucket_count: int = 128      # >= 4 x max cores: N->4N keeps >=1 bucket/core
+    batch_size: int = 2000       # global fetches per epoch
+    host_quota: int = field(default_factory=datagen.host_quota)  # 30/epoch
+    salt_buckets: int = 8        # S for the two-phase skew-safe host rank
+    max_retries: int = 3
+    expand: bool = True          # full-coverage link expansion on/off
+    min_caption_len: int = 1000  # crawl admission filter (main.py:183-184)
+
+
+class CrawlEngine:
+    def __init__(self, spark: SparkSession, root: str, cfg: CrawlConfig | None = None):
+        self.spark = spark
+        self.cfg = cfg or CrawlConfig()
+        self.catalog = Catalog(root)
+        self.frontier = self.catalog.table("frontier", FRONTIER_DDL)
+        self.seen = self.catalog.table("seen", SEEN_DDL)
+        self.store = self.catalog.table("store", STORE_DDL)
+        self.host_state = self.catalog.table("host_state", HOST_STATE_DDL)
+        self.fetch_log = self.catalog.table("fetch_log", FETCH_LOG_DDL)
+        self.crawl_order = self.catalog.table("crawl_order", ORDER_DDL)
+        self._payload: DataFrame | None = None
+
+    # ------------------------------------------------------------ payload
+
+    def payload_df(self) -> DataFrame:
+        """The image+caption table, with its row index for pmod addressing."""
+        if self._payload is None:
+            pdf = datagen.gen_payload_spark(self.spark, self.cfg.n_payload, self.cfg.seed)
+            self._payload = pdf.withColumn(
+                "payload_idx", F.regexp_extract("image_id", r"(\d+)", 1).cast("long")
+            ).cache()
+        return self._payload
+
+    def set_payload(self, df: DataFrame) -> None:
+        self._payload = df
+
+    # ---------------------------------------------------------- bootstrap
+
+    def bootstrap(self, seeds: DataFrame) -> None:
+        """Ingest the seed list: canonicalize, blocklist-gate, first-wins dedup.
+
+        Reference analog: seen_urls seeding + excluded-domain gate
+        (google_news_crawler.py:269, main.py:200-203). First occurrence of a
+        canonical URL wins (earliest discovered_at, url tie-break), matching
+        the reference's set-guard insertion order.
+        """
+        cfg = self.cfg
+        s = with_url_identity(seeds, "url", cfg.bucket_count)
+        blocked = datagen.blocklist_hosts(cfg.seed, cfg.n_hosts)
+        bl = self.spark.createDataFrame([(h,) for h in blocked], "host string")
+        s = s.join(F.broadcast(bl), on="host", how="left_anti")
+        w = Window.partitionBy("url_hash").orderBy(
+            F.col("discovered_at").asc(), F.col("url").asc()
+        )
+        s = (
+            s.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .withColumn("retry_count", F.lit(0))
+            .withColumn("not_before", F.lit(0))
+            .select(*[c.strip().split(" ")[0] for c in FRONTIER_DDL.split(",")])
+        )
+        fid = self.frontier.overwrite(s, {"rows": "bootstrap"})
+        sid = self.seen.overwrite(s.select("url_hash", "bucket"))
+        self.catalog.checkpoint(
+            -1,
+            {
+                "frontier": fid,
+                "seen": sid,
+                "store": self.store.current_snapshot_id(),
+                "host_state": self.host_state.current_snapshot_id(),
+                "fetch_log": self.fetch_log.current_snapshot_id(),
+                "crawl_order": self.crawl_order.current_snapshot_id(),
+            },
+        )
+
+    # ------------------------------------------------------------ ranking
+
+    def select_batch(self, epoch: int) -> DataFrame:
+        """Politeness-gated, priority-ranked fetch batch for this epoch."""
+        cfg = self.cfg
+        if self.frontier.is_empty():
+            return self.spark.createDataFrame([], FRONTIER_DDL + ", seq long")
+        eligible = self.frontier.read(self.spark).filter(F.col("not_before") <= epoch)
+
+        # Phase 1: skew-safe overapproximation within (host, salt).
+        salt = F.pmod(F.col("url_hash"), F.lit(cfg.salt_buckets))
+        w1 = Window.partitionBy("host", salt).orderBy(*rank_keys())
+        cand = (
+            eligible.withColumn("_lr", F.row_number().over(w1))
+            .filter(F.col("_lr") <= cfg.host_quota)
+            .drop("_lr")
+        )
+        # Phase 2: exact per-host quota on the <= S*quota survivors.
+        w2 = Window.partitionBy("host").orderBy(*rank_keys())
+        survivors = (
+            cand.withColumn("_hr", F.row_number().over(w2))
+            .filter(F.col("_hr") <= cfg.host_quota)
+            .drop("_hr")
+        )
+        # Global top-K: TakeOrderedAndProject (distributed per-partition
+        # top-K + driver merge), never a full global sort.
+        batch = survivors.orderBy(*rank_keys()).limit(cfg.batch_size)
+        wseq = Window.orderBy(*rank_keys())  # <= batch_size rows; single task OK
+        return batch.withColumn("seq", F.row_number().over(wseq).cast("long"))
+
+    # -------------------------------------------------------------- fetch
+
+    def _decode_validate(self, joined: DataFrame) -> DataFrame:
+        """Vectorized decode+validate of fetched payloads (mapInPandas).
+
+        Checks per BASELINE.json input_hint: decoded-pixel allclose vs the
+        regenerated source (exact for lossless ppm/bmp; PSNR>=40 dB for the
+        lossy qpng), dims match, phash match. Never throws — failures land
+        in the `reason` column (error contract of the reference extractor,
+        article_extractor.py:361-410).
+        """
+        seed = self.cfg.seed
+        out_schema = (
+            "url_hash long, bucket int, host string, seq long, status int, "
+            "image_id string, caption string, phash long, w int, h int, fmt string, "
+            "valid boolean, reason string, psnr double, caption_len int"
+        )
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                n = len(pdf)
+                valid = np.zeros(n, dtype=bool)
+                reason = np.full(n, "", dtype=object)
+                psnr_v = np.full(n, float("inf"))
+                for i in range(n):
+                    if pdf["status"].iat[i] != 200:
+                        reason[i] = f"http_{pdf['status'].iat[i]}"
+                        continue
+                    try:
+                        arr = codecs.decode(pdf["bytes"].iat[i], pdf["fmt"].iat[i])
+                    except Exception as e:  # decode failure -> row error
+                        reason[i] = f"decode_error:{type(e).__name__}"
+                        continue
+                    h, w = arr.shape[:2]
+                    if w != pdf["w"].iat[i] or h != pdf["h"].iat[i]:
+                        reason[i] = "dim_mismatch"
+                        continue
+                    expected = datagen.expected_pixels(int(pdf["payload_idx"].iat[i]), seed)
+                    if pdf["fmt"].iat[i] == "qpng":
+                        p = codecs.psnr(expected, arr)
+                        psnr_v[i] = p
+                        if p < 40.0:
+                            reason[i] = "psnr_below_40"
+                            continue
+                    elif not np.array_equal(expected, arr):
+                        reason[i] = "pixel_mismatch"
+                        continue
+                    if codecs.average_phash(arr) != pdf["phash"].iat[i]:
+                        reason[i] = "phash_mismatch"
+                        continue
+                    valid[i] = True
+                yield pd.DataFrame(
+                    {
+                        "url_hash": pdf["url_hash"],
+                        "bucket": pdf["bucket"],
+                        "host": pdf["host"],
+                        "seq": pdf["seq"],
+                        "status": pdf["status"],
+                        "image_id": pdf["image_id"],
+                        "caption": pdf["caption"],
+                        "phash": pdf["phash"],
+                        "w": pdf["w"],
+                        "h": pdf["h"],
+                        "fmt": pdf["fmt"],
+                        "valid": valid,
+                        "reason": reason,
+                        "psnr": psnr_v,
+                        "caption_len": pdf["caption"].str.len().fillna(0).astype("int32"),
+                    }
+                )
+
+        return joined.mapInPandas(run, out_schema)
+
+    def fetch_batch(self, batch: DataFrame) -> DataFrame:
+        """Simulated fetch: status from url_hash, payload by pmod address."""
+        cfg = self.cfg
+        seed = cfg.seed
+
+        @F.pandas_udf("int")
+        def status_udf(url_hash: pd.Series) -> pd.Series:
+            return url_hash.map(lambda h: datagen.fetch_status(int(h), seed)).astype("int32")
+
+        b = batch.withColumn("status", status_udf("url_hash")).withColumn(
+            "payload_idx", F.pmod(F.col("url_hash"), F.lit(cfg.n_payload)).cast("long")
+        )
+        # batch is tiny vs payload: broadcast it so the payload scan joins
+        # without a shuffle.
+        joined = self.payload_df().join(
+            F.broadcast(b), on="payload_idx", how="inner"
+        )
+        fetched = self._decode_validate(joined)
+        # failed fetches never reach the payload join path's decode, but we
+        # must keep their rows: union the non-200 slice straight through.
+        failed = (
+            b.filter(F.col("status") != 200)
+            .select(
+                "url_hash", "bucket", "host", "seq", "status",
+                F.lit(None).cast("string").alias("image_id"),
+                F.lit(None).cast("string").alias("caption"),
+                F.lit(None).cast("long").alias("phash"),
+                F.lit(None).cast("int").alias("w"),
+                F.lit(None).cast("int").alias("h"),
+                F.lit(None).cast("string").alias("fmt"),
+                F.lit(False).alias("valid"),
+                F.concat(F.lit("http_"), F.col("status")).alias("reason"),
+                F.lit(None).cast("double").alias("psnr"),
+                F.lit(0).alias("caption_len"),
+            )
+        )
+        ok = fetched.filter(F.col("status") == 200)
+        return ok.unionByName(failed)
+
+    # -------------------------------------------------------------- epoch
+
+    def run_epoch(self, epoch: int) -> dict:
+        cfg = self.cfg
+        spark = self.spark
+        batch = self.select_batch(epoch).cache()
+        n_batch = batch.count()
+        if n_batch == 0:
+            # nothing eligible this epoch; pending retries may unlock later
+            n_left = 0 if self.frontier.is_empty() else self.frontier.read(spark).count()
+            ck = self.catalog.last_checkpoint()
+            self.catalog.checkpoint(epoch, ck["snapshots"] if ck else {})
+            return {"epoch": epoch, "fetched": 0, "done": n_left == 0}
+
+        results = self.fetch_batch(batch).cache()
+
+        # --- store MERGE: valid + admission filter (caption >= 1000 chars)
+        stored = (
+            results.filter(F.col("valid") & (F.col("caption_len") >= cfg.min_caption_len))
+            .select(
+                "url_hash", "bucket", "host", "image_id", "caption", "phash",
+                "w", "h", "fmt", "psnr",
+                F.lit(epoch).alias("first_epoch"),
+                F.lit(epoch).alias("last_epoch"),
+            )
+        )
+        # preserve first_epoch for re-stored rows (upsert-update semantics,
+        # main.py:214-227: update keeps created_at, bumps updated_at)
+        if not self.store.is_empty():
+            old = self.store.read(spark).select(
+                "url_hash", F.col("first_epoch").alias("_old_first")
+            )
+            stored = (
+                stored.join(old, on="url_hash", how="left")
+                .withColumn("first_epoch", F.coalesce("_old_first", "first_epoch"))
+                .drop("_old_first")
+            )
+        store_id = self.store.merge_upsert(spark, stored, "url_hash", set_pointer=True)
+
+        # --- retries / dead letters (403/429 backoff re-queue, T4)
+        failures = results.filter(F.col("status") != 200).select("url_hash", "status")
+        fr = batch.join(failures, on="url_hash", how="inner")
+        retry = fr.filter(F.col("retry_count") < cfg.max_retries)
+        backoff = F.element_at(
+            F.array(*[F.lit(b) for b in datagen.POLITENESS["backoff_batches"]]),
+            F.least(F.col("retry_count") + 1, F.lit(len(datagen.POLITENESS["backoff_batches"]))),
+        )
+        retry_rows = (
+            retry.withColumn("not_before", (F.lit(epoch) + backoff).cast("int"))
+            .withColumn("retry_count", F.col("retry_count") + 1)
+            .select(*[c.strip().split(" ")[0] for c in FRONTIER_DDL.split(",")])
+        )
+        n_dead = fr.filter(F.col("retry_count") >= cfg.max_retries).count()
+
+        # --- link expansion -> canonicalize -> blocklist -> anti-join seen
+        if cfg.expand:
+            seed, n_hosts, n_seeds = cfg.seed, cfg.n_hosts, cfg.n_seed_urls
+
+            @F.pandas_udf("array<string>")
+            def expand_udf(url_hash: pd.Series) -> pd.Series:
+                return url_hash.map(
+                    lambda h: datagen.expand_links(int(h), seed, n_hosts, n_seeds)
+                )
+
+            ok_hashes = results.filter(F.col("status") == 200).select("url_hash")
+            disc = (
+                ok_hashes.withColumn("_out", expand_udf("url_hash"))
+                .select(F.explode("_out").alias("url"))
+            )
+            disc = with_url_identity(disc, "url", cfg.bucket_count)
+            blocked = datagen.blocklist_hosts(seed, n_hosts)
+            bl = spark.createDataFrame([(h,) for h in blocked], "host string")
+            disc = disc.join(F.broadcast(bl), on="host", how="left_anti")
+            wd = Window.partitionBy("url_hash").orderBy(F.col("url").asc())
+            disc = disc.withColumn("_rn", F.row_number().over(wd)).filter(
+                F.col("_rn") == 1
+            ).drop("_rn")
+            seen_df = self.seen.read(spark).select("url_hash")
+            new_urls = disc.join(seen_df, on="url_hash", how="left_anti")
+            discovered = (
+                new_urls.withColumn(
+                    "priority",
+                    (F.pmod(F.col("url_hash"), F.lit(1_000_000)) / 1_000_000.0),
+                )
+                .withColumn("discovered_at", F.lit(_epoch_discovery_ts(epoch)))
+                .withColumn("category", F.lit("general"))
+                .withColumn("language", F.lit("en"))
+                .withColumn("retry_count", F.lit(0))
+                .withColumn("not_before", F.lit(epoch + 1))
+                .select(*[c.strip().split(" ")[0] for c in FRONTIER_DDL.split(",")])
+            ).cache()
+            n_discovered = discovered.count()
+        else:
+            discovered = spark.createDataFrame([], FRONTIER_DDL)
+            n_discovered = 0
+
+        # --- commit: frontier delete+insert, seen append, host_state MERGE,
+        #     lineage append, crawl order append, checkpoint.
+        inserts = retry_rows.unionByName(discovered)
+        frontier_id = self.frontier.merge_delta(
+            spark, batch.select("url_hash", "bucket"), inserts, "url_hash",
+            {"epoch": epoch},
+        )
+        seen_id = (
+            self.seen.append(discovered.select("url_hash", "bucket"))
+            if n_discovered
+            else self.seen.current_snapshot_id()
+        )
+
+        host_delta = (
+            batch.groupBy("host", "host_hash", "bucket")
+            .agg(F.count("*").alias("_n"))
+            .withColumn("last_epoch", F.lit(epoch))
+        )
+        if not self.host_state.is_empty():
+            prev = self.host_state.read(spark).select(
+                "host", F.col("fetch_count").alias("_prev")
+            )
+            host_delta = (
+                host_delta.join(prev, on="host", how="left")
+                .withColumn("fetch_count", F.coalesce("_prev", F.lit(0)) + F.col("_n"))
+                .drop("_prev", "_n")
+            )
+        else:
+            host_delta = host_delta.withColumn("fetch_count", F.col("_n").cast("long")).drop("_n")
+        host_delta = host_delta.select("host", "host_hash", "bucket", "last_epoch", "fetch_count")
+        host_id = self.host_state.merge_upsert(spark, host_delta, "host")
+
+        log = (
+            results.groupBy("bucket")
+            .agg(
+                F.count("*").alias("n_fetched"),
+                F.sum(
+                    (F.col("valid") & (F.col("caption_len") >= cfg.min_caption_len)).cast("long")
+                ).alias("n_stored"),
+                F.sum(
+                    (F.col("valid") & (F.col("caption_len") < cfg.min_caption_len)).cast("long")
+                ).alias("n_rejected"),
+                F.sum(
+                    (~F.col("valid") & (F.col("status") == 200)).cast("long")
+                ).alias("n_invalid"),
+            )
+            .withColumn("epoch", F.lit(epoch))
+            .withColumn("n_retry", F.lit(0).cast("long"))
+            .withColumn("n_dead", F.lit(int(n_dead)).cast("long"))
+            .withColumn("n_discovered", F.lit(int(n_discovered)).cast("long"))
+            .withColumn("n_new_frontier", F.lit(int(n_discovered)).cast("long"))
+            .select(*[c.strip().split(" ")[0] for c in FETCH_LOG_DDL.split(",")])
+        )
+        log_id = self.fetch_log.append(log)
+        order_id = self.crawl_order.append(
+            batch.select(F.lit(epoch).alias("epoch"), "seq", "url_hash", "bucket")
+        )
+        self.catalog.checkpoint(
+            epoch,
+            {
+                "frontier": frontier_id,
+                "seen": seen_id,
+                "store": store_id,
+                "host_state": host_id,
+                "fetch_log": log_id,
+                "crawl_order": order_id,
+            },
+        )
+        n_stored = int(
+            results.filter(
+                F.col("valid") & (F.col("caption_len") >= cfg.min_caption_len)
+            ).count()
+        )
+        stats = {
+            "epoch": epoch,
+            "fetched": int(n_batch),
+            "stored": n_stored,
+            "discovered": int(n_discovered),
+            "dead": int(n_dead),
+            "done": False,
+        }
+        batch.unpersist()
+        results.unpersist()
+        return stats
+
+    # -------------------------------------------------------------- drive
+
+    def resume_epoch(self) -> int:
+        """Next epoch to run, after rolling tables back to the checkpoint."""
+        return self.catalog.restore_latest() + 1
+
+    def drain(self, max_epochs: int = 100) -> list[dict]:
+        start = self.resume_epoch()
+        out = []
+        for e in range(start, start + max_epochs):
+            st = self.run_epoch(e)
+            out.append(st)
+            if st.get("done"):
+                break
+        return out

@@ -1,0 +1,372 @@
+"""Snapshot-manifest tables over parquet — the Iceberg-shaped storage layer.
+
+The north rule calls for Iceberg tables partitioned by host-hash bucket with
+MERGE, per-commit snapshot ids, and time travel. No Iceberg runtime jar can
+be fetched in this sandbox (no network), so this module provides the same
+contract on plain parquet + JSON manifests:
+
+- every commit produces a new immutable snapshot (``manifests/v<id>.json``)
+  listing, **per bucket**, the parquet directories that make up the table;
+- the current-version pointer is flipped atomically (``os.replace``);
+- ``merge_upsert`` is partition-level copy-on-write: only the buckets
+  present in the delta are rewritten, untouched buckets carry their old
+  data directories forward by reference — exactly Iceberg's COW granularity;
+- ``read(..., buckets=[...])`` prunes at the manifest level (the analog of
+  Iceberg partition pruning), and ``read(..., snapshot_id=n)`` time-travels.
+
+On a real cluster this module is swapped for
+``spark.read/writeTo(...).using("iceberg")`` with
+``PARTITIONED BY (bucket(B, host_hash))`` — the engine code only talks to
+this interface. Reference analog: the Postgres ``articles`` table with its
+unique url index and upsert loop (/root/reference/database.py:24-43,
+main.py:209-230) — here uniqueness is enforced by the MERGE key, and the
+"index" is bucket pruning + min/max stats in parquet footers.
+
+Layout::
+
+    <root>/<name>/
+        manifests/v0001.json ...
+        VERSION                  # atomic pointer: current snapshot id
+        data/snap-0001-<op>/pbucket=K/part-*.parquet
+
+``pbucket`` is a *copy* of the logical ``bucket`` column used only as the
+partitionBy key, so the logical column survives in the data files and leaf
+directories can be read directly without basePath tricks.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BUCKET_COL = "bucket"
+_PB = "pbucket"
+
+
+def _atomic_write(path: str, content: str) -> None:
+    d = os.path.dirname(path)
+    fd, tmp = tempfile.mkstemp(dir=d, prefix=".tmp-")
+    try:
+        with os.fdopen(fd, "w") as f:
+            f.write(content)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    parent_id: int | None
+    operation: str
+    entries: dict[str, list[str]]  # bucket (as str) -> relative data dirs
+    summary: dict[str, Any] = field(default_factory=dict)
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "snapshot_id": self.snapshot_id,
+                "parent_id": self.parent_id,
+                "operation": self.operation,
+                "entries": self.entries,
+                "summary": self.summary,
+            },
+            sort_keys=True,
+        )
+
+    @staticmethod
+    def from_json(s: str) -> "Snapshot":
+        d = json.loads(s)
+        return Snapshot(
+            d["snapshot_id"], d["parent_id"], d["operation"], d["entries"], d["summary"]
+        )
+
+
+class SnapshotTable:
+    """One bucketed table with snapshot isolation and COW merges."""
+
+    def __init__(self, root: str, name: str, schema_ddl: str | None = None):
+        self.dir = os.path.join(root, name)
+        self.name = name
+        self.schema_ddl = schema_ddl
+        os.makedirs(os.path.join(self.dir, "manifests"), exist_ok=True)
+        os.makedirs(os.path.join(self.dir, "data"), exist_ok=True)
+        if not os.path.exists(self._version_path()):
+            snap = Snapshot(0, None, "create", {})
+            self._write_manifest(snap)
+            _atomic_write(self._version_path(), "0")
+
+    # ------------------------------------------------------------ plumbing
+
+    def _version_path(self) -> str:
+        return os.path.join(self.dir, "VERSION")
+
+    def _manifest_path(self, sid: int) -> str:
+        return os.path.join(self.dir, "manifests", f"v{sid:06d}.json")
+
+    def _write_manifest(self, snap: Snapshot) -> None:
+        _atomic_write(self._manifest_path(snap.snapshot_id), snap.to_json())
+
+    def current_snapshot_id(self) -> int:
+        with open(self._version_path()) as f:
+            return int(f.read().strip())
+
+    def snapshot(self, sid: int | None = None) -> Snapshot:
+        sid = self.current_snapshot_id() if sid is None else sid
+        with open(self._manifest_path(sid)) as f:
+            return Snapshot.from_json(f.read())
+
+    def set_current(self, sid: int) -> None:
+        """Flip the pointer (also used by checkpoint rollback on resume)."""
+        if not os.path.exists(self._manifest_path(sid)):
+            raise ValueError(f"{self.name}: no snapshot {sid}")
+        _atomic_write(self._version_path(), str(sid))
+
+    def history(self) -> list[int]:
+        files = sorted(os.listdir(os.path.join(self.dir, "manifests")))
+        return [int(f[1:-5]) for f in files if f.startswith("v")]
+
+    # ------------------------------------------------------------- reading
+
+    def read(
+        self,
+        spark: SparkSession,
+        snapshot_id: int | None = None,
+        buckets: list[int] | None = None,
+    ) -> DataFrame:
+        snap = self.snapshot(snapshot_id)
+        paths: list[str] = []
+        for b, dirs in snap.entries.items():
+            if buckets is not None and int(b) not in buckets:
+                continue  # manifest-level partition pruning
+            paths.extend(os.path.join(self.dir, d) for d in dirs)
+        if not paths:
+            if self.schema_ddl:
+                return spark.createDataFrame([], self.schema_ddl)
+            raise ValueError(f"{self.name}: empty table and no schema_ddl to infer")
+        return spark.read.parquet(*paths)
+
+    def is_empty(self, snapshot_id: int | None = None) -> bool:
+        return not self.snapshot(snapshot_id).entries
+
+    # ------------------------------------------------------------- writing
+
+    def _write_data(self, df: DataFrame, op: str) -> dict[str, list[str]]:
+        """Write df partitioned by bucket; return {bucket: [reldir]}."""
+        rel = os.path.join("data", f"snap-{uuid.uuid4().hex[:12]}-{op}")
+        out = os.path.join(self.dir, rel)
+        (
+            df.withColumn(_PB, F.col(BUCKET_COL))
+            .write.mode("overwrite")
+            .partitionBy(_PB)
+            .parquet(out)
+        )
+        entries: dict[str, list[str]] = {}
+        for child in sorted(os.listdir(out)):
+            if child.startswith(f"{_PB}="):
+                b = child.split("=", 1)[1]
+                entries[b] = [os.path.join(rel, child)]
+        return entries
+
+    def _commit(
+        self,
+        entries: dict[str, list[str]],
+        op: str,
+        summary: dict[str, Any],
+        set_pointer: bool = True,
+    ) -> int:
+        parent = self.current_snapshot_id()
+        sid = max(self.history()) + 1
+        snap = Snapshot(sid, parent, op, entries, summary)
+        self._write_manifest(snap)
+        if set_pointer:
+            self.set_current(sid)
+        return sid
+
+    def append(self, df: DataFrame, summary: dict | None = None, set_pointer: bool = True) -> int:
+        new = self._write_data(df, "append")
+        merged = {b: list(dirs) for b, dirs in self.snapshot().entries.items()}
+        for b, dirs in new.items():
+            merged.setdefault(b, []).extend(dirs)
+        return self._commit(merged, "append", summary or {}, set_pointer)
+
+    def overwrite(self, df: DataFrame, summary: dict | None = None, set_pointer: bool = True) -> int:
+        new = self._write_data(df, "overwrite")
+        return self._commit(new, "overwrite", summary or {}, set_pointer)
+
+    def merge_upsert(
+        self,
+        spark: SparkSession,
+        delta: DataFrame,
+        key: str,
+        summary: dict | None = None,
+        set_pointer: bool = True,
+    ) -> int:
+        """MERGE INTO self USING delta ON key — last-writer-wins, COW.
+
+        Only buckets present in the delta are rewritten; every other bucket's
+        data directories are carried forward by reference. The rewrite is a
+        bucket-pruned read + anti-join + union, i.e. a storage-partitioned
+        merge: at scale both sides are already hashed by the same bucket
+        function, so no full-table shuffle happens.
+        """
+        delta = delta.cache()
+        touched = [r[0] for r in delta.select(BUCKET_COL).distinct().collect()]
+        entries = {b: list(d) for b, d in self.snapshot().entries.items()}
+        have = [b for b in touched if str(b) in entries]
+        if have:
+            current = self.read(spark, buckets=have)
+            kept = current.join(
+                delta.select(key).distinct(), on=key, how="left_anti"
+            )
+            rewritten = kept.unionByName(delta.filter(F.col(BUCKET_COL).isin(have)))
+        else:
+            rewritten = delta.limit(0)
+        new_only = delta.filter(~F.col(BUCKET_COL).isin(have)) if have else delta
+        out = rewritten.unionByName(new_only)
+        new_entries = self._write_data(out, "merge")
+        for b in touched:
+            entries[str(b)] = []
+        for b, dirs in new_entries.items():
+            entries[b] = dirs
+        entries = {b: d for b, d in entries.items() if d}
+        delta.unpersist()
+        return self._commit(entries, "merge", summary or {}, set_pointer)
+
+    def merge_delta(
+        self,
+        spark: SparkSession,
+        delete_keys: DataFrame | None,
+        inserts: DataFrame | None,
+        key: str,
+        summary: dict | None = None,
+        set_pointer: bool = True,
+    ) -> int:
+        """MERGE with WHEN MATCHED DELETE + NOT MATCHED INSERT semantics.
+
+        The frontier's per-epoch update (drop fetched rows, add retries +
+        discoveries) in one partition-level COW commit. ``delete_keys``
+        needs (key, bucket); ``inserts`` is full-schema rows. Only buckets
+        touched by either side are rewritten.
+        """
+        entries = {b: list(d) for b, d in self.snapshot().entries.items()}
+        touched: set[int] = set()
+        if delete_keys is not None:
+            delete_keys = delete_keys.select(key, BUCKET_COL).cache()
+            touched |= {r[0] for r in delete_keys.select(BUCKET_COL).distinct().collect()}
+        if inserts is not None:
+            inserts = inserts.cache()
+            touched |= {r[0] for r in inserts.select(BUCKET_COL).distinct().collect()}
+        have = [b for b in touched if str(b) in entries]
+        parts = []
+        if have:
+            current = self.read(spark, buckets=have)
+            if delete_keys is not None:
+                current = current.join(
+                    delete_keys.select(key).distinct(), on=key, how="left_anti"
+                )
+            parts.append(current)
+        if inserts is not None:
+            ins = inserts
+            if have:
+                ins = inserts  # inserts in untouched buckets are still new data
+            parts.append(ins)
+        if not parts:
+            return self.current_snapshot_id()
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        new_entries = self._write_data(out, "mergedelta")
+        for b in touched:
+            entries.pop(str(b), None)
+        for b, dirs in new_entries.items():
+            entries[b] = dirs
+        if delete_keys is not None:
+            delete_keys.unpersist()
+        if inserts is not None:
+            inserts.unpersist()
+        return self._commit(entries, "mergedelta", summary or {}, set_pointer)
+
+    def delete_where(
+        self, spark: SparkSession, condition: str, summary: dict | None = None
+    ) -> int:
+        """DELETE FROM self WHERE condition (full COW rewrite)."""
+        if self.is_empty():
+            return self.current_snapshot_id()
+        kept = self.read(spark).filter(f"NOT ({condition})")
+        new_entries = self._write_data(kept, "delete")
+        return self._commit(new_entries, "delete", summary or {})
+
+    def expire_snapshots(self, keep_last: int = 10) -> None:
+        """GC old manifests + unreferenced data dirs (Iceberg expire_snapshots)."""
+        hist = self.history()
+        keep = set(hist[-keep_last:]) | {self.current_snapshot_id()}
+        live_dirs: set[str] = set()
+        for sid in keep:
+            for dirs in self.snapshot(sid).entries.values():
+                for d in dirs:
+                    live_dirs.add(d.split(os.sep)[1])  # snap-... component
+        data_root = os.path.join(self.dir, "data")
+        for child in os.listdir(data_root):
+            if child not in live_dirs:
+                shutil.rmtree(os.path.join(data_root, child), ignore_errors=True)
+        for sid in hist:
+            if sid not in keep:
+                os.unlink(self._manifest_path(sid))
+
+
+class Catalog:
+    """A directory of SnapshotTables + an atomic multi-table checkpoint.
+
+    ``checkpoint(epoch, ids)`` records {table -> snapshot_id} for a drain
+    epoch in one atomic file write; ``restore_latest()`` rolls every table
+    pointer back to the last fully-committed epoch, which makes a torn
+    epoch (crash between per-table commits) invisible — the Iceberg analog
+    is a single multi-table transaction commit.
+    """
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self._tables: dict[str, SnapshotTable] = {}
+
+    def table(self, name: str, schema_ddl: str | None = None) -> SnapshotTable:
+        if name not in self._tables:
+            self._tables[name] = SnapshotTable(self.root, name, schema_ddl)
+        elif schema_ddl and self._tables[name].schema_ddl is None:
+            self._tables[name].schema_ddl = schema_ddl
+        return self._tables[name]
+
+    def _ckpt_path(self) -> str:
+        return os.path.join(self.root, "CHECKPOINT")
+
+    def checkpoint(self, epoch: int, snapshot_ids: dict[str, int]) -> None:
+        _atomic_write(
+            self._ckpt_path(), json.dumps({"epoch": epoch, "snapshots": snapshot_ids})
+        )
+
+    def last_checkpoint(self) -> dict | None:
+        if not os.path.exists(self._ckpt_path()):
+            return None
+        with open(self._ckpt_path()) as f:
+            return json.loads(f.read())
+
+    def restore_latest(self) -> int:
+        """Roll all tables to the last checkpoint; return its epoch (-1 if none)."""
+        ck = self.last_checkpoint()
+        if ck is None:
+            return -1
+        for name, sid in ck["snapshots"].items():
+            self.table(name).set_current(sid)
+        return ck["epoch"]
