@@ -1,0 +1,107 @@
+"""Snapshot-table semantics: append/merge/delete, time travel, checkpoints."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from newscrawler_spark.tablelib import Catalog
+
+DDL = "k long, bucket int, v string"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, DDL)
+
+
+@pytest.fixture()
+def cat(tmp_path):
+    return Catalog(str(tmp_path / "cat"))
+
+
+def test_append_and_read(spark, cat):
+    t = cat.table("t", DDL)
+    t.append(_df(spark, [(1, 0, "a"), (2, 1, "b")]))
+    t.append(_df(spark, [(3, 0, "c")]))
+    assert {r["k"] for r in t.read(spark).collect()} == {1, 2, 3}
+
+
+def test_bucket_pruned_read(spark, cat):
+    t = cat.table("t", DDL)
+    t.append(_df(spark, [(1, 0, "a"), (2, 1, "b"), (3, 2, "c")]))
+    got = {r["k"] for r in t.read(spark, buckets=[0, 2]).collect()}
+    assert got == {1, 3}
+
+
+def test_merge_upsert_last_writer_wins(spark, cat):
+    t = cat.table("t", DDL)
+    t.append(_df(spark, [(1, 0, "a"), (2, 1, "b")]))
+    t.merge_upsert(spark, _df(spark, [(2, 1, "B"), (4, 3, "d")]), "k")
+    got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert got == {1: "a", 2: "B", 4: "d"}
+
+
+def test_merge_upsert_rewrites_only_touched_buckets(spark, cat):
+    t = cat.table("t", DDL)
+    t.append(_df(spark, [(1, 0, "a"), (2, 1, "b")]))
+    before = t.snapshot().entries["0"]
+    t.merge_upsert(spark, _df(spark, [(2, 1, "B")]), "k")
+    after = t.snapshot().entries["0"]
+    assert before == after  # bucket 0 untouched -> same data dirs (COW)
+    assert t.snapshot().entries["1"] != before
+
+
+def test_merge_delta_delete_and_insert(spark, cat):
+    t = cat.table("t", DDL)
+    t.append(_df(spark, [(1, 0, "a"), (2, 1, "b"), (3, 2, "c")]))
+    deletes = _df(spark, [(2, 1, "x")]).select("k", "bucket")
+    inserts = _df(spark, [(9, 1, "ins"), (10, 5, "new")])
+    t.merge_delta(spark, deletes, inserts, "k")
+    got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert got == {1: "a", 3: "c", 9: "ins", 10: "new"}
+
+
+def test_delete_where(spark, cat):
+    t = cat.table("t", DDL)
+    t.append(_df(spark, [(1, 0, "a"), (2, 1, "b")]))
+    t.delete_where(spark, "v = 'a'")
+    assert {r["k"] for r in t.read(spark).collect()} == {2}
+
+
+def test_time_travel(spark, cat):
+    t = cat.table("t", DDL)
+    s1 = t.append(_df(spark, [(1, 0, "a")]))
+    s2 = t.append(_df(spark, [(2, 1, "b")]))
+    assert {r["k"] for r in t.read(spark, snapshot_id=s1).collect()} == {1}
+    assert {r["k"] for r in t.read(spark, snapshot_id=s2).collect()} == {1, 2}
+    assert t.snapshot().parent_id == s1
+
+
+def test_checkpoint_rollback_hides_torn_commit(spark, cat):
+    t = cat.table("t", DDL)
+    s1 = t.append(_df(spark, [(1, 0, "a")]))
+    cat.checkpoint(0, {"t": s1})
+    t.append(_df(spark, [(2, 1, "torn")]))  # commit after checkpoint = torn epoch
+    epoch = cat.restore_latest()
+    assert epoch == 0
+    assert {r["k"] for r in t.read(spark).collect()} == {1}
+
+
+def test_empty_table_reads_with_schema(spark, cat):
+    t = cat.table("t", DDL)
+    df = t.read(spark)
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == ["k", "bucket", "v"]
+
+
+def test_expire_snapshots_keeps_current(spark, cat):
+    t = cat.table("t", DDL)
+    for i in range(5):
+        t.append(_df(spark, [(i, i % 2, str(i))]))
+    t.expire_snapshots(keep_last=2)
+    assert {r["k"] for r in t.read(spark).collect()} == {0, 1, 2, 3, 4}
+
+
+def test_append_with_filter_pushdown_explains_pruning(spark, cat):
+    t = cat.table("t", DDL)
+    t.append(_df(spark, [(i, i % 4, f"v{i}") for i in range(100)]))
+    plan = t.read(spark).filter(F.col("k") == 5)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan or "Filter" in plan
