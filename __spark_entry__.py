@@ -1,38 +1,698 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps every implemented operator family from SURVEY.md §2 to a
+runnable (spark, sf_dir) -> DataFrame; ``oracle_sql()`` gives the DuckDB
+twin for every SQL-expressible one. Crawl-engine-specific operators
+(frontier drain, LSH ANN, SimHash, payload decode) have no faithful ANSI
+oracle and appear as rows-only entries; their real correctness gate is the
+sequential oracle in tests/test_crawl.py.
+
+Column-name contract: every computed column is aliased identically on both
+sides; double-typed aggregates are computed as DECIMAL sums or int/int
+divisions so Spark and DuckDB produce bit-identical values.
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from newscrawler_spark.functions import dedup as D
+from newscrawler_spark.functions import similarity as SIM
+from newscrawler_spark.functions import text as T
+from newscrawler_spark.functions import textstats as TS
+from newscrawler_spark.queries import surface as Q
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# flagship
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: whole-word multi-keyword search + ranked drain window over
+    the documents table at sf0.001 (reference /search + /crawlnews rank)."""
+    sf = "/root/testdata/sf0.001"
+    docs = _t(spark, sf, "documents")
+    hits = docs.filter(T.keyword_predicate(["spark", "data"], ["text"])).filter(
+        F.length("text") >= 200
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        hits.withColumn("rank_in_lang", F.row_number().over(w))
+        .filter(F.col("rank_in_lang") <= 5)
+        .select("doc_id", "lang", "source", "n_chars", "rank_in_lang")
+        .orderBy("lang", "rank_in_lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# queries
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---------------- search / filter / pagination (F3,F4,P4,O1,O2,O3)
+    def q_search_keywords(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return (
+            docs.filter(T.keyword_predicate(["spark", "data"], ["text"]))
+            .filter(F.length("text") >= 300)
+            .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+            .limit(20)
+            .select("doc_id", "lang", "source", "n_chars")
+        )
+
+    q["search_keywords"] = q_search_keywords
+
+    def q_ilike_search(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return Q.ilike_search(docs, "text", "window merge").select("doc_id", "source")
+
+    q["ilike_search"] = q_ilike_search
+
+    def q_pagination(spark, sf):
+        orders = _t(spark, sf, "orders")
+        return Q.paginate(orders, "o_orderdate", 50, 20, "o_orderkey").select(
+            "o_orderkey", "o_orderdate", "o_totalprice"
+        )
+
+    q["pagination"] = q_pagination
+
+    def q_topk(spark, sf):
+        ev = _t(spark, sf, "events")
+        return (
+            ev.orderBy(F.desc("value"), F.asc("event_id"))
+            .limit(100)
+            .select("event_id", "user_id", "value")
+        )
+
+    q["topk"] = q_topk
+
+    def q_window_drain(spark, sf):
+        ev = _t(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("value"), F.asc("ts"), F.asc("event_id")
+        )
+        return (
+            ev.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 2)
+            .select("user_id", "event_id", "rn")
+        )
+
+    q["window_drain"] = q_window_drain
+
+    # ---------------- aggregations (A1-A4)
+    def q_stats_by_source(spark, sf):
+        return Q.stats_by_source(_t(spark, sf, "documents"), "source")
+
+    q["stats_by_source"] = q_stats_by_source
+
+    def q_conditional_aggs(spark, sf):
+        orders = _t(spark, sf, "orders")
+        return orders.agg(
+            F.count("*").alias("total"),
+            F.count(F.when(F.col("o_orderdate") >= F.lit("2024-06-01"), 1)).alias(
+                "recent"
+            ),
+            F.count(F.when(F.col("o_totalprice") > 1000.0, 1)).alias("high_value"),
+        )
+
+    q["conditional_aggs"] = q_conditional_aggs
+
+    def q_count_filter(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        return li.filter(
+            (F.col("l_discount") >= 0.05) & (F.col("l_quantity") < 24)
+        ).agg(F.count("*").alias("n"))
+
+    q["count_filter"] = q_count_filter
+
+    def q_group_agg_decimal(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        return (
+            li.groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias(
+                    "sum_price"
+                ),
+                F.count("*").alias("count_order"),
+            )
+            .orderBy("l_returnflag", "l_linestatus")
+        )
+
+    q["group_agg_decimal"] = q_group_agg_decimal
+
+    def q_headline_groups(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return (
+            docs.filter(F.length("text") > 100)
+            .groupBy("lang")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.countDistinct("source").alias("n_sources"),
+                F.max("n_chars").alias("max_chars"),
+            )
+            .orderBy(F.desc("n_docs"), F.asc("lang"))
+            .limit(3)
+        )
+
+    q["headline_groups"] = q_headline_groups
+
+    # ---------------- joins (J1-J5) / set ops (U1-U4)
+    def q_anti_join_seen(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        seen = (
+            _t(spark, sf, "orders")
+            .filter(F.col("o_orderstatus") == "F")
+            .select("o_orderkey")
+        )
+        return (
+            li.join(seen, li.l_orderkey == seen.o_orderkey, "left_anti")
+            .groupBy("l_returnflag")
+            .agg(F.count("*").alias("n"))
+            .orderBy("l_returnflag")
+        )
+
+    q["anti_join_seen"] = q_anti_join_seen
+
+    def q_semi_join_cache(spark, sf):
+        orders = _t(spark, sf, "orders")
+        big = _t(spark, sf, "lineitem").filter(F.col("l_quantity") > 45)
+        return (
+            orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+            .select("o_orderkey", "o_totalprice")
+        )
+
+    q["semi_join_cache"] = q_semi_join_cache
+
+    def q_broadcast_dim_join(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        part = _t(spark, sf, "part")
+        return (
+            li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .groupBy("p_brand")
+            .agg(
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+                F.count("*").alias("n"),
+            )
+            .orderBy("p_brand")
+        )
+
+    q["broadcast_dim_join"] = q_broadcast_dim_join
+
+    def q_merge_classify(spark, sf):
+        """J2/S11: existence-check upsert classification — matched rows are
+        updates, unmatched inserts (MERGE semantics as counts)."""
+        orders = _t(spark, sf, "orders")
+        batch = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+            "o_orderkey"
+        )
+        existing = orders.filter(F.col("o_orderstatus") == "O").select(
+            F.col("o_orderkey").alias("e_key")
+        )
+        j = batch.join(existing, batch.o_orderkey == F.col("e_key"), "left")
+        return j.agg(
+            F.count(F.when(F.col("e_key").isNotNull(), 1)).alias("n_update"),
+            F.count(F.when(F.col("e_key").isNull(), 1)).alias("n_insert"),
+        )
+
+    q["merge_classify"] = q_merge_classify
+
+    def q_union_dedup(spark, sf):
+        docs = _t(spark, sf, "documents")
+        a = docs.filter(F.col("source").isin("src0", "src1"))
+        b = docs.filter(F.col("lang") == "en")
+        return (
+            a.unionByName(b)
+            .dropDuplicates(["doc_id"])
+            .select("doc_id", "lang", "source")
+        )
+
+    q["union_dedup"] = q_union_dedup
+
+    def q_multi_source_union(spark, sf):
+        """U2: per-source normalized projections unioned (news_service.py:53-60)."""
+        c = _t(spark, sf, "customer").select(
+            F.col("c_custkey").alias("id"),
+            F.col("c_name").alias("name"),
+            F.lit("customer").alias("source_api"),
+        )
+        s = _t(spark, sf, "supplier").select(
+            F.col("s_suppkey").alias("id"),
+            F.col("s_name").alias("name"),
+            F.lit("supplier").alias("source_api"),
+        )
+        return c.unionByName(s)
+
+    q["multi_source_union"] = q_multi_source_union
+
+    # ---------------- scalar functions (F1,F2,F5,F8,F10-F14,F15)
+    def q_clean_summary(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return docs.select(
+            "doc_id",
+            T.summary_200(T.clean_text(F.col("text"))).alias("summary"),
+        )
+
+    q["clean_summary"] = q_clean_summary
+
+    def q_domain_extract(spark, sf):
+        docs = _t(spark, sf, "documents")
+        url = F.concat(
+            F.lit("https://WWW."),
+            F.col("source"),
+            F.lit(".Example.com/a/"),
+            F.col("doc_id").cast("string"),
+        )
+        return docs.select(
+            "doc_id", T.domain_of(url).alias("domain")
+        )
+
+    q["domain_extract"] = q_domain_extract
+
+    def q_iso_format(spark, sf):
+        orders = _t(spark, sf, "orders")
+        return orders.select(
+            "o_orderkey", T.iso_format(F.col("o_orderdate")).alias("iso_ts")
+        )
+
+    q["iso_format"] = q_iso_format
+
+    def q_ts_parse_cascade(spark, sf):
+        ev = _t(spark, sf, "events")
+        s = F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+        return ev.select(
+            "event_id", T.parse_ts_cascade(s).alias("parsed_ts")
+        )
+
+    q["ts_parse_cascade"] = q_ts_parse_cascade
+
+    def q_string_functions(spark, sf):
+        part = _t(spark, sf, "part")
+        title = F.concat(F.col("p_name"), F.lit(" - "), F.col("p_brand"))
+        return part.select(
+            "p_partkey",
+            T.strip_source_suffix(title).alias("stripped"),
+            T.normalize_name(F.col("p_type")).alias("norm_type"),
+            T.digits_only_long(
+                F.concat(
+                    F.col("p_partkey").cast("string"), F.lit(","),
+                    F.col("p_size").cast("string"), F.lit(" views"),
+                )
+            ).alias("views"),
+        )
+
+    q["string_functions"] = q_string_functions
+
+    def q_json_extract(spark, sf):
+        ev = _t(spark, sf, "events")
+        return ev.select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+        )
+
+    q["json_extract"] = q_json_extract
+
+    # ---------------- dedup suite
+    def q_dedup_exact(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return D.exact_dedup(docs, "text", "doc_id").select("doc_id")
+
+    q["dedup_exact"] = q_dedup_exact
+
+    def q_fingerprint(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return D.content_fingerprint(docs, "text", algo="md5").select("doc_id", "fp")
+
+    q["fingerprint"] = q_fingerprint
+
+    def q_minhash_md5(spark, sf):
+        """Oracle-checkable 4-hash MinHash (md5 family, both engines)."""
+        docs = _t(spark, sf, "documents")
+        toks = F.explode(F.split(D.normalized_text(F.col("text")), " ")).alias("t")
+        ex = docs.select("doc_id", toks)
+        return ex.groupBy("doc_id").agg(
+            *[
+                F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("t")))).alias(f"h{i}")
+                for i in range(4)
+            ]
+        )
+
+    q["minhash_md5"] = q_minhash_md5
+
+    def q_ngram_jaccard(spark, sf):
+        """Blocked exact Jaccard near-dup pairs (word unigram sets)."""
+        docs = _t(spark, sf, "documents").select(
+            "doc_id", "lang", D.tokens_col(F.col("text")).alias("toks")
+        )
+        l = docs.alias("l")
+        r = docs.alias("r")
+        pairs = l.join(
+            r,
+            on=[
+                F.col("l.lang") == F.col("r.lang"),
+                F.col("l.doc_id") < F.col("r.doc_id"),
+            ],
+        ).select(
+            F.col("l.doc_id").alias("id_a"),
+            F.col("r.doc_id").alias("id_b"),
+            (
+                F.size(F.array_intersect("l.toks", "r.toks"))
+                / F.size(F.array_union("l.toks", "r.toks"))
+            ).alias("jaccard"),
+        )
+        return pairs.filter(F.col("jaccard") >= 0.9).select("id_a", "id_b")
+
+    q["ngram_jaccard"] = q_ngram_jaccard
+
+    # ---------------- text analysis
+    def q_token_counts(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return docs.select(
+            "doc_id",
+            TS.token_count_ws(F.col("text")).alias("n_ws_tokens"),
+            TS.token_count_bpe_ish(F.col("text")).alias("n_bpe_tokens"),
+        )
+
+    q["token_counts"] = q_token_counts
+
+    def q_quality_features(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return TS.quality_features(docs, "text").select(
+            "doc_id", "n_tokens", "n_punct", "n_stopwords",
+            "mean_token_len", "stopword_ratio",
+        )
+
+    q["quality_features"] = q_quality_features
+
+    def q_lang_id(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return TS.lang_id(docs, "text").select("doc_id", "pred_lang")
+
+    q["lang_id"] = q_lang_id
+
+    # ---------------- similarity search
+    def q_cosine_topk(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+        top = SIM.cosine_topk(emb, "embedding", list(qvec), k=10)
+        w = Window.orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        return top.withColumn("rank", F.row_number().over(w)).select(
+            "rank", "vec_id"
+        )
+
+    q["cosine_topk"] = q_cosine_topk
+
+    # ---------------- crawl-engine operators (rows-only; exact gate lives
+    # in tests/test_crawl.py vs the sequential oracle)
+    def q_crawl_drain(spark, sf):
+        from newscrawler_spark import datagen
+        from newscrawler_spark.engine.crawl import CrawlConfig, CrawlEngine
+
+        cfg = CrawlConfig(
+            seed=42, n_hosts=12, n_payload=100, n_seed_urls=120,
+            batch_size=30, host_quota=4, bucket_count=8, salt_buckets=2,
+        )
+        root = tempfile.mkdtemp(prefix="drain-entry-")
+        eng = CrawlEngine(spark, root, cfg)
+        eng.bootstrap(datagen.gen_seeds_spark(spark, cfg.n_seed_urls, cfg.seed, cfg.n_hosts))
+        eng.run_epoch(0)
+        eng.run_epoch(1)
+        return eng.crawl_order.read(spark).orderBy("epoch", "seq")
+
+    q["crawl_drain"] = q_crawl_drain
+
+    def q_canonicalize_identity(spark, sf):
+        from newscrawler_spark.urlnorm import with_url_identity
+
+        docs = _t(spark, sf, "documents")
+        urls = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("https://WWW."), F.col("source"),
+                F.lit(".example.com:443/a/"), F.col("doc_id").cast("string"),
+                F.lit("?utm_source=x&b=2&a=1"),
+            ).alias("url"),
+        )
+        return with_url_identity(urls, "url", 64).select(
+            "doc_id", "canonical_url", "host", "url_hash", "bucket"
+        )
+
+    q["canonicalize_identity"] = q_canonicalize_identity
+
+    def q_minhash_lsh_dedup(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return D.minhash_dedup(docs, "doc_id", "text", threshold=0.8).select("doc_id")
+
+    q["minhash_lsh_dedup"] = q_minhash_lsh_dedup
+
+    def q_simhash_pairs(spark, sf):
+        docs = _t(spark, sf, "documents")
+        sh = D.simhash(docs, "doc_id", "text")
+        return D.simhash_near_pairs(sh, "doc_id", max_hamming=8)
+
+    q["simhash_pairs"] = q_simhash_pairs
+
+    def q_winnow_fingerprints(spark, sf):
+        docs = _t(spark, sf, "documents").limit(200)
+        return TS.winnow_fingerprints(docs, "doc_id", "text").select(
+            "doc_id", F.size("fps").alias("n_fps")
+        )
+
+    q["winnow_fingerprints"] = q_winnow_fingerprints
+
+    def q_ann_lsh(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+        return SIM.ann_lsh_topk(emb, "embedding", list(qvec), k=10, bits=6)
+
+    q["ann_lsh"] = q_ann_lsh
+
+    def q_embedding_near_pairs(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        return SIM.embedding_near_dup_pairs(emb, "embedding", threshold=0.35, bits=4)
+
+    q["embedding_near_pairs"] = q_embedding_near_pairs
+
+    def q_decode_features(spark, sf):
+        from newscrawler_spark import datagen
+        from newscrawler_spark.functions import multimodal as MM
+
+        payload = datagen.gen_payload_spark(spark, 200, 42)
+        return MM.decode_features(payload)
+
+    q["decode_features"] = q_decode_features
+
+    return q
+
+
+# --------------------------------------------------------------------------
+# oracles
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    o: dict[str, str] = {}
+
+    o["search_keywords"] = """
+        SELECT doc_id, lang, source, n_chars FROM documents
+        WHERE regexp_matches(text, '(?i)\\bspark\\b')
+          AND regexp_matches(text, '(?i)\\bdata\\b')
+          AND length(text) >= 300
+        ORDER BY n_chars DESC, doc_id ASC LIMIT 20
     """
-    return {}
+    o["ilike_search"] = """
+        SELECT doc_id, source FROM documents
+        WHERE lower(text) LIKE '%window merge%'
+    """
+    o["pagination"] = """
+        SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+        ORDER BY o_orderdate DESC, o_orderkey ASC LIMIT 20 OFFSET 50
+    """
+    o["topk"] = """
+        SELECT event_id, user_id, value FROM events
+        ORDER BY value DESC, event_id ASC LIMIT 100
+    """
+    o["window_drain"] = """
+        SELECT user_id, event_id, rn FROM (
+          SELECT user_id, event_id,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY value DESC, ts ASC, event_id ASC) AS rn
+          FROM events) WHERE rn <= 2
+    """
+    o["stats_by_source"] = """
+        SELECT source, count(*) AS n FROM documents GROUP BY source ORDER BY source
+    """
+    o["conditional_aggs"] = """
+        SELECT count(*) AS total,
+               count(CASE WHEN o_orderdate >= TIMESTAMP '2024-06-01' THEN 1 END) AS recent,
+               count(CASE WHEN o_totalprice > 1000.0 THEN 1 END) AS high_value
+        FROM orders
+    """
+    o["count_filter"] = """
+        SELECT count(*) AS n FROM lineitem
+        WHERE l_discount >= 0.05 AND l_quantity < 24
+    """
+    o["group_agg_decimal"] = """
+        SELECT l_returnflag, l_linestatus,
+               sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+               count(*) AS count_order
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """
+    o["headline_groups"] = """
+        SELECT lang, count(*) AS n_docs, count(DISTINCT source) AS n_sources,
+               max(n_chars) AS max_chars
+        FROM documents WHERE length(text) > 100
+        GROUP BY lang ORDER BY n_docs DESC, lang ASC LIMIT 3
+    """
+    o["anti_join_seen"] = """
+        SELECT l_returnflag, count(*) AS n FROM lineitem
+        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+        GROUP BY l_returnflag ORDER BY l_returnflag
+    """
+    o["semi_join_cache"] = """
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)
+    """
+    o["broadcast_dim_join"] = """
+        SELECT p_brand, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+               count(*) AS n
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand ORDER BY p_brand
+    """
+    o["merge_classify"] = """
+        SELECT count(CASE WHEN e.e_key IS NOT NULL THEN 1 END) AS n_update,
+               count(CASE WHEN e.e_key IS NULL THEN 1 END) AS n_insert
+        FROM (SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0) b
+        LEFT JOIN (SELECT o_orderkey AS e_key FROM orders WHERE o_orderstatus = 'O') e
+          ON b.o_orderkey = e.e_key
+    """
+    o["union_dedup"] = """
+        SELECT doc_id, lang, source FROM (
+          SELECT doc_id, lang, source FROM documents WHERE source IN ('src0','src1')
+          UNION
+          SELECT doc_id, lang, source FROM documents WHERE lang = 'en')
+    """
+    o["multi_source_union"] = """
+        SELECT c_custkey AS id, c_name AS name, 'customer' AS source_api FROM customer
+        UNION ALL
+        SELECT s_suppkey AS id, s_name AS name, 'supplier' AS source_api FROM supplier
+    """
+    o["clean_summary"] = """
+        SELECT doc_id,
+          CASE WHEN length(cleaned) > 200 THEN substring(cleaned, 1, 200) || '...'
+               ELSE cleaned END AS summary
+        FROM (SELECT doc_id,
+                trim(regexp_replace(regexp_replace(text,
+                  '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+                  '\\s+', ' ', 'g')) AS cleaned
+              FROM documents)
+    """
+    o["domain_extract"] = """
+        SELECT doc_id,
+               regexp_replace(lower('WWW.' || source || '.Example.com'), '^www\\.', '') AS domain
+        FROM documents
+    """
+    o["iso_format"] = """
+        SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS iso_ts
+        FROM orders
+    """
+    o["ts_parse_cascade"] = """
+        SELECT event_id, CAST(strftime(ts, '%Y-%m-%d %H:%M:%S') AS TIMESTAMP) AS parsed_ts
+        FROM events
+    """
+    o["string_functions"] = """
+        SELECT p_partkey,
+               regexp_replace(p_name || ' - ' || p_brand, ' - [^-]*$', '') AS stripped,
+               trim(regexp_replace(replace(regexp_replace(lower(p_type), 'u\\.s\\.', 'us'),
+                    '&', 'and'), '\\s+', ' ', 'g')) AS norm_type,
+               CAST(replace(regexp_extract(p_partkey || ',' || p_size || ' views',
+                    '([\\d,]+)', 1), ',', '') AS BIGINT) AS views
+        FROM part
+    """
+    o["json_extract"] = """
+        SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+        FROM events
+    """
+    o["dedup_exact"] = f"""
+        SELECT doc_id FROM documents
+        WHERE doc_id IN (
+          SELECT min(doc_id) FROM documents GROUP BY md5({_NORM}))
+    """
+    o["fingerprint"] = f"""
+        SELECT doc_id, md5({_NORM}) AS fp FROM documents
+    """
+    o["minhash_md5"] = f"""
+        SELECT doc_id,
+               min(md5('0:' || t)) AS h0, min(md5('1:' || t)) AS h1,
+               min(md5('2:' || t)) AS h2, min(md5('3:' || t)) AS h3
+        FROM (SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS t FROM documents)
+        GROUP BY doc_id
+    """
+    o["ngram_jaccard"] = f"""
+        WITH toks AS (
+          SELECT doc_id, lang, list_distinct(string_split({_NORM}, ' ')) AS toks
+          FROM documents)
+        SELECT l.doc_id AS id_a, r.doc_id AS id_b
+        FROM toks l JOIN toks r ON l.lang = r.lang AND l.doc_id < r.doc_id
+        WHERE CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE)
+              / len(list_distinct(list_concat(l.toks, r.toks))) >= 0.9
+    """
+    o["token_counts"] = """
+        SELECT doc_id,
+               len(list_filter(string_split_regex(text, '\\s+'), t -> length(t) > 0)) AS n_ws_tokens,
+               len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpe_tokens
+        FROM documents
+    """
+    o["quality_features"] = """
+        SELECT doc_id, n_tokens, n_punct, n_stopwords,
+               CASE WHEN n_tokens > 0 THEN CAST(n_chars_q AS DOUBLE) / n_tokens ELSE 0.0 END AS mean_token_len,
+               CASE WHEN n_tokens > 0 THEN CAST(n_stopwords AS DOUBLE) / n_tokens ELSE 0.0 END AS stopword_ratio
+        FROM (
+          SELECT doc_id, length(text) AS n_chars_q,
+                 len(list_filter(string_split_regex(text, '\\s+'), t -> length(t) > 0)) AS n_tokens,
+                 len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+                 len(regexp_extract_all(text, '(?i)\\b(the|and|of|to|in|is|that|with)\\b')) AS n_stopwords
+          FROM documents)
+    """
+    o["lang_id"] = """
+        SELECT doc_id,
+          CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+               WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+               WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+               WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+               ELSE 'es' END AS pred_lang
+        FROM (
+          SELECT doc_id,
+            len(regexp_extract_all(text, '(?i)\\b(the|and|of|to|in|is|that|with)\\b')) AS s_en,
+            len(regexp_extract_all(text, '(?i)\\b(der|die|das|und|ist|nicht|mit|ein)\\b')) AS s_de,
+            len(regexp_extract_all(text, '(?i)\\b(le|la|les|et|est|une|que|pour)\\b')) AS s_fr,
+            len(regexp_extract_all(text, '(?i)\\b(el|la|los|y|es|una|que|por)\\b')) AS s_es
+          FROM documents)
+    """
+    o["cosine_topk"] = """
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        scored AS (
+          SELECT vec_id, list_cosine_similarity(embedding, qv) AS sim
+          FROM embeddings, q)
+        SELECT row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS rank, vec_id
+        FROM scored ORDER BY sim DESC, vec_id ASC LIMIT 10
+    """
+    return o

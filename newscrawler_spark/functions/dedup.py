@@ -1,0 +1,256 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All Spark-native (built-in functions + groupBy/join); no Python in the hot
+path. Each operator is designed for the 100 TB regime:
+
+- exact dedup: hash-groupBy — one shuffle on the fingerprint, map-side
+  partial agg for the counts path;
+- MinHash + LSH: shingle -> k min-hashes (single groupBy with k aggregate
+  exprs, no crossJoin) -> band buckets -> candidate pairs only within a
+  bucket (never O(n^2) across the corpus);
+- SimHash: 64 bitwise-majority aggregates in one groupBy pass;
+- n-gram Jaccard: exact verify, used *after* blocking (LSH buckets or a
+  cheap key like length-band + lang) so the pair set stays linear-ish.
+
+Reference analog: the crawl-side dedup is keyed (unique url,
+/root/reference/database.py:28, google_news_crawler.py:306-313); these
+content-based operators extend it to near-duplicate text, which a
+training-data pipeline needs and the reference does not have.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalized_text(c: Column) -> Column:
+    """Canonical text form for content hashing: lower, collapse ws, trim."""
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest-id row per exact (normalized) content.
+
+    One shuffle on the content fingerprint; the min-id winner is computed
+    with a single groupBy (map-side combine) + self-semi-join, never a
+    window over the whole corpus.
+    """
+    fp = df.select(
+        F.col(id_col),
+        F.xxhash64(normalized_text(F.col(text_col))).alias("_fp"),
+    )
+    winners = fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    return df.join(winners.select(id_col), on=id_col, how="left_semi")
+
+
+def content_fingerprint(df: DataFrame, text_col: str, algo: str = "xxhash64") -> DataFrame:
+    """Append a content fingerprint column `fp` (xxhash64 or md5)."""
+    norm = normalized_text(F.col(text_col))
+    fp = F.xxhash64(norm) if algo == "xxhash64" else F.md5(norm)
+    return df.withColumn("fp", fp)
+
+
+def tokens_col(c: Column) -> Column:
+    return F.array_distinct(F.split(normalized_text(c), " "))
+
+
+def shingles_col(c: Column, k: int = 3) -> Column:
+    """Word k-shingles as strings (distinct)."""
+    toks = F.split(normalized_text(c), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
+    )
+
+
+def minhash_signature(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, sig: array<long>) — k min-hashes in ONE explode + ONE groupBy.
+
+    h_i(s) = xxhash64(i, s): Spark's multi-arg xxhash64 chains the seed, so
+    each i is an independent hash family member; min over shingles per i is
+    k aggregate expressions in a single partial-aggregated groupBy — no
+    crossJoin with a seed table, no second shuffle.
+    """
+    ex = df.select(
+        F.col(id_col), F.explode(shingles_col(F.col(text_col), shingle_k)).alias("_s")
+    )
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("_s"))).alias(f"_h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = ex.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        id_col, F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame, id_col: str, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """Banded LSH: pairs sharing >=1 band bucket. Returns (id_a, id_b).
+
+    The band bucket key is xxhash64 over the band slice; the self-join runs
+    per bucket (equi-join on (band, bucket_hash)) so comparisons stay local
+    to buckets — the scale-out path for near-dup detection at 10^10 docs.
+    """
+    b = sig_df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(F.col("sig"), i * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band", "bucket_hash"),
+    )
+    left = b.alias("l")
+    right = b.alias("r")
+    pairs = (
+        left.join(
+            right,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.bucket_hash") == F.col("r.bucket_hash"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    pairs: DataFrame,
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard verification of candidate pairs.
+
+    Join the (small) candidate pair set back to the shingle arrays and
+    compute |A∩B| / |A∪B| with array built-ins — no UDF.
+    """
+    sh = df.select(
+        F.col(id_col), shingles_col(F.col(text_col), shingle_k).alias("sh")
+    )
+    j = (
+        pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), on="id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), on="id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return j
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Full near-dup pipeline: minhash -> LSH bucket-join -> exact verify.
+
+    Returns the deduplicated DataFrame (lowest id survives its duplicate
+    cluster; single-link via the verified pair set).
+    """
+    sig = minhash_signature(df, id_col, text_col, num_hashes)
+    cand = lsh_candidate_pairs(sig, id_col, bands, num_hashes // bands)
+    dup = jaccard_pairs(df, id_col, text_col, cand, threshold)
+    # victims: any id that appears as the larger member of a verified pair
+    victims = dup.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(victims, on=id_col, how="left_anti")
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document, one explode + one groupBy.
+
+    bit b of the hash = sign of sum over tokens of (2*bit_b(xxhash64(tok))-1).
+    64 conditional-sum aggregates run in a single partial-agg pass.
+    """
+    ex = df.select(
+        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("_t")
+    ).withColumn("_h", F.xxhash64("_t"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_b{b}")
+        for b in range(64)
+    ]
+    g = ex.groupBy(id_col).agg(*aggs)
+    # assemble: sum of (bit>0) << b, via bigint arithmetic (bit 63 wraps to sign)
+    expr = None
+    for b in range(64):
+        term = F.when(F.col(f"_b{b}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ) * F.lit(1 << b if b < 63 else -(1 << 63)).cast("long")
+        expr = term if expr is None else expr + term
+    return g.select(id_col, expr.alias("simhash"))
+
+
+def simhash_near_pairs(sim_df: DataFrame, id_col: str, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, blocked on 16-bit chunks.
+
+    Pigeonhole: two 64-bit hashes within hamming distance 3 share at least
+    one identical 16-bit chunk — join per chunk, then verify the exact
+    distance with bit_count (built-in), never a full cross join.
+    """
+    chunks = sim_df.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), s).bitwiseAND(F.lit(0xFFFF))
+                    for s in (0, 16, 32, 48)
+                ]
+            )
+        ).alias("chunk_id", "chunk"),
+    )
+    l, r = chunks.alias("l"), chunks.alias("r")
+    cand = (
+        l.join(
+            r,
+            on=[
+                F.col("l.chunk_id") == F.col("r.chunk_id"),
+                F.col("l.chunk") == F.col("r.chunk"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.simhash").alias("sh_a"),
+            F.col("r.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return cand.withColumn(
+        "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    ).filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")

@@ -1,0 +1,144 @@
+"""Multimodal column plumbing: images/audio/video as opaque binary + typed
+metadata, processed in Arrow-batched pandas UDFs via mapInPandas.
+
+The Spark-side plumbing (schemas, batch shapes, partitioning, UDF
+signatures) is real and tested; for media types whose decoders aren't in
+this container (JPEG/MP3/MP4), the decode step is stubbed behind a clearly
+marked NotImplementedError (see ``decode_external``) while our own formats
+(ppm/bmp/qpng) decode for real with the pure-numpy codecs.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from .. import codecs
+
+DECODE_SCHEMA = (
+    "image_id string, ok boolean, reason string, w int, h int, "
+    "mean_r double, mean_g double, mean_b double, phash long"
+)
+RESIZE_SCHEMA = "image_id string, ok boolean, fmt string, bytes binary, w int, h int"
+
+EXTERNAL_FORMATS = {"jpeg", "jpg", "png", "gif", "webp", "mp3", "wav", "mp4"}
+
+
+def decode_external(data: bytes, fmt: str) -> np.ndarray:
+    """STUB: decoding container-external media formats.
+
+    The sandbox has no PIL/cv2/imageio; on a real deployment this calls the
+    codec library inside the same pandas UDF. Kept as an explicit seam so
+    the pipeline shape (binary in → ndarray out, Arrow-batched) is real.
+    """
+    raise NotImplementedError(
+        f"decoder for {fmt!r} not available in this environment; "
+        "plug a real codec (PIL/cv2) here"
+    )
+
+
+def _decode_any(data: bytes, fmt: str) -> np.ndarray:
+    if fmt in codecs.FORMATS:
+        return codecs.decode(data, fmt)
+    return decode_external(data, fmt)
+
+
+def decode_features(df: DataFrame) -> DataFrame:
+    """Decode + per-channel mean features + phash, vectorized per batch.
+
+    Input: the payload schema (image_id, bytes, fmt, ...). Errors are rows,
+    never exceptions (error-column contract).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            out = {
+                "image_id": pdf["image_id"],
+                "ok": np.zeros(n, dtype=bool),
+                "reason": np.full(n, "", dtype=object),
+                "w": np.zeros(n, dtype="int32"),
+                "h": np.zeros(n, dtype="int32"),
+                "mean_r": np.zeros(n),
+                "mean_g": np.zeros(n),
+                "mean_b": np.zeros(n),
+                "phash": np.zeros(n, dtype="int64"),
+            }
+            for i in range(n):
+                try:
+                    arr = _decode_any(pdf["bytes"].iat[i], pdf["fmt"].iat[i])
+                except NotImplementedError:
+                    out["reason"][i] = "codec_unavailable"
+                    continue
+                except Exception as e:
+                    out["reason"][i] = f"decode_error:{type(e).__name__}"
+                    continue
+                out["ok"][i] = True
+                out["h"][i], out["w"][i] = arr.shape[:2]
+                m = arr.reshape(-1, 3).mean(axis=0)
+                out["mean_r"][i], out["mean_g"][i], out["mean_b"][i] = m
+                out["phash"][i] = codecs.average_phash(arr)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, DECODE_SCHEMA)
+
+
+def block_mean_resize(arr: np.ndarray, factor: int) -> np.ndarray:
+    """Downscale by integer factor via exact block-mean pooling (numpy)."""
+    h, w = arr.shape[:2]
+    h2, w2 = h // factor, w // factor
+    cropped = arr[: h2 * factor, : w2 * factor]
+    return (
+        cropped.reshape(h2, factor, w2, factor, 3)
+        .mean(axis=(1, 3))
+        .round()
+        .astype(np.uint8)
+    )
+
+
+def resize_images(df: DataFrame, factor: int = 2) -> DataFrame:
+    """Real resize for our formats (block-mean), re-encoded as ppm."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in range(len(pdf)):
+                try:
+                    arr = _decode_any(pdf["bytes"].iat[i], pdf["fmt"].iat[i])
+                    small = block_mean_resize(arr, factor)
+                    rows.append(
+                        (
+                            pdf["image_id"].iat[i],
+                            True,
+                            "ppm",
+                            codecs.encode_ppm(small),
+                            small.shape[1],
+                            small.shape[0],
+                        )
+                    )
+                except NotImplementedError:
+                    rows.append((pdf["image_id"].iat[i], False, None, None, 0, 0))
+            yield pd.DataFrame(
+                rows, columns=["image_id", "ok", "fmt", "bytes", "w", "h"]
+            )
+
+    return df.mapInPandas(run, RESIZE_SCHEMA)
+
+
+def frame_sample_stub(df: DataFrame, every_n: int = 30) -> DataFrame:
+    """STUB plumbing for video frame sampling.
+
+    Emits the deterministic frame index plan per video row (what a real
+    ffmpeg-backed UDF would extract); the decode itself is
+    NotImplementedError-gated like decode_external.
+    """
+    from pyspark.sql import functions as F
+
+    return df.select(
+        "image_id",
+        F.sequence(F.lit(0), F.lit(every_n * 4), F.lit(every_n)).alias("frame_plan"),
+        F.lit("codec_unavailable").alias("reason"),
+    )
