@@ -1,0 +1,124 @@
+"""Headline benchmark — prints ONE JSON line for the driver.
+
+Runs the engine's headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus one crawl-frontier
+drain throughput measurement (the BASELINE.json north-star metric).
+
+Output: {"metric": ..., "value": total_sec, "unit": "sec",
+         "queries": {name: sec, ...}, "sf": ...,
+         "drain_urls_per_sec": ..., ...}
+
+Scaling-efficiency evidence (local[8] vs local[32]) lives in
+scripts/bench_scaling.py → BENCH.md, since one JVM cannot switch masters.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from newscrawler_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+HEADLINE = [
+    "search_keywords",
+    "window_drain",
+    "group_agg_decimal",
+    "broadcast_dim_join",
+    "anti_join_seen",
+    "dedup_exact",
+    "minhash_md5",
+    "lang_id",
+    "quality_features",
+    "cosine_topk",
+    "simhash_pairs",
+    "decode_features",
+]
+
+DRAIN = {
+    "n_seed_urls": 20_000,
+    "n_payload": 4_000,
+    "n_hosts": 500,
+    "batch_size": 4_000,
+    "epochs": 3,
+}
+
+
+def bench_queries(spark) -> dict[str, float]:
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    out: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        n = df.count()  # force full execution
+        out[name] = round(time.time() - t0, 3)
+        _ = n
+    return out
+
+
+def bench_drain(spark) -> dict:
+    from newscrawler_spark import datagen
+    from newscrawler_spark.engine.crawl import CrawlConfig, CrawlEngine
+
+    cfg = CrawlConfig(
+        seed=42,
+        n_hosts=DRAIN["n_hosts"],
+        n_payload=DRAIN["n_payload"],
+        n_seed_urls=DRAIN["n_seed_urls"],
+        batch_size=DRAIN["batch_size"],
+        bucket_count=128,
+        salt_buckets=8,
+    )
+    root = tempfile.mkdtemp(prefix="bench-drain-")
+    try:
+        eng = CrawlEngine(spark, root, cfg)
+        seeds = datagen.gen_seeds_spark(spark, cfg.n_seed_urls, cfg.seed, cfg.n_hosts)
+        eng.payload_df().count()  # warm the payload cache outside the timer
+        t0 = time.time()
+        eng.bootstrap(seeds)
+        fetched = 0
+        for e in range(DRAIN["epochs"]):
+            st = eng.run_epoch(e)
+            fetched += st["fetched"]
+        wall = time.time() - t0
+        return {
+            "drain_sec": round(wall, 3),
+            "drain_urls": fetched,
+            "drain_urls_per_sec": round(fetched / wall, 2),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def main() -> None:
+    spark = get_spark(app_name="newscrawler-bench", cores=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = bench_queries(spark)
+    drain = bench_drain(spark)
+    total = round(sum(queries.values()) + drain["drain_sec"], 3)
+    result = {
+        "metric": "headline query suite + frontier drain wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": {**queries, "frontier_drain": drain["drain_sec"]},
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "cpus": CPUS,
+        "drain_urls": drain["drain_urls"],
+        "drain_urls_per_sec": drain["drain_urls_per_sec"],
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -210,6 +210,7 @@ class CrawlEngine:
         seed = self.cfg.seed
         out_schema = (
             "url_hash long, bucket int, host string, seq long, status int, "
+            "retry_count int, "
             "image_id string, caption string, phash long, w int, h int, fmt string, "
             "valid boolean, reason string, psnr double, caption_len int"
         )
@@ -254,6 +255,7 @@ class CrawlEngine:
                         "host": pdf["host"],
                         "seq": pdf["seq"],
                         "status": pdf["status"],
+                        "retry_count": pdf["retry_count"],
                         "image_id": pdf["image_id"],
                         "caption": pdf["caption"],
                         "phash": pdf["phash"],
@@ -292,7 +294,7 @@ class CrawlEngine:
         failed = (
             b.filter(F.col("status") != 200)
             .select(
-                "url_hash", "bucket", "host", "seq", "status",
+                "url_hash", "bucket", "host", "seq", "status", "retry_count",
                 F.lit(None).cast("string").alias("image_id"),
                 F.lit(None).cast("string").alias("caption"),
                 F.lit(None).cast("long").alias("phash"),
@@ -360,7 +362,6 @@ class CrawlEngine:
             .withColumn("retry_count", F.col("retry_count") + 1)
             .select(*[c.strip().split(" ")[0] for c in FRONTIER_DDL.split(",")])
         )
-        n_dead = fr.filter(F.col("retry_count") >= cfg.max_retries).count()
 
         # --- link expansion -> canonicalize -> blocklist -> anti-join seen
         if cfg.expand:
@@ -436,7 +437,10 @@ class CrawlEngine:
         host_delta = host_delta.select("host", "host_hash", "bucket", "last_epoch", "fetch_count")
         host_id = self.host_state.merge_upsert(spark, host_delta, "host")
 
-        log = (
+        # per-bucket lineage metrics in ONE aggregation pass over results
+        # (n_retry/n_dead derivable because retry_count rode through fetch)
+        failed_c = F.col("status") != 200
+        log_rows = (
             results.groupBy("bucket")
             .agg(
                 F.count("*").alias("n_fetched"),
@@ -449,13 +453,27 @@ class CrawlEngine:
                 F.sum(
                     (~F.col("valid") & (F.col("status") == 200)).cast("long")
                 ).alias("n_invalid"),
+                F.sum(
+                    (failed_c & (F.col("retry_count") < cfg.max_retries)).cast("long")
+                ).alias("n_retry"),
+                F.sum(
+                    (failed_c & (F.col("retry_count") >= cfg.max_retries)).cast("long")
+                ).alias("n_dead"),
             )
-            .withColumn("epoch", F.lit(epoch))
-            .withColumn("n_retry", F.lit(0).cast("long"))
-            .withColumn("n_dead", F.lit(int(n_dead)).cast("long"))
-            .withColumn("n_discovered", F.lit(int(n_discovered)).cast("long"))
-            .withColumn("n_new_frontier", F.lit(int(n_discovered)).cast("long"))
-            .select(*[c.strip().split(" ")[0] for c in FETCH_LOG_DDL.split(",")])
+            .collect()
+        )
+        n_dead = sum(r["n_dead"] for r in log_rows)
+        n_stored_total = sum(r["n_stored"] for r in log_rows)
+        log = spark.createDataFrame(
+            [
+                (
+                    epoch, r["bucket"], r["n_fetched"], r["n_stored"],
+                    r["n_rejected"], r["n_invalid"], r["n_retry"], r["n_dead"],
+                    int(n_discovered), int(n_discovered),
+                )
+                for r in log_rows
+            ],
+            FETCH_LOG_DDL,
         )
         log_id = self.fetch_log.append(log)
         order_id = self.crawl_order.append(
@@ -472,15 +490,14 @@ class CrawlEngine:
                 "crawl_order": order_id,
             },
         )
-        n_stored = int(
-            results.filter(
-                F.col("valid") & (F.col("caption_len") >= cfg.min_caption_len)
-            ).count()
-        )
+        # bound read amplification on the append-only seen table
+        if self.seen.max_dirs_per_bucket() > 6:
+            self.seen.compact(spark, {"epoch": epoch})
+
         stats = {
             "epoch": epoch,
             "fetched": int(n_batch),
-            "stored": n_stored,
+            "stored": int(n_stored_total),
             "discovered": int(n_discovered),
             "dead": int(n_dead),
             "done": False,

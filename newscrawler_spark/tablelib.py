@@ -155,7 +155,11 @@ class SnapshotTable:
             if self.schema_ddl:
                 return spark.createDataFrame([], self.schema_ddl)
             raise ValueError(f"{self.name}: empty table and no schema_ddl to infer")
-        return spark.read.parquet(*paths)
+        reader = spark.read
+        if self.schema_ddl:
+            # explicit schema: no per-file footer schema merge on wide reads
+            reader = reader.schema(self.schema_ddl)
+        return reader.parquet(*paths)
 
     def is_empty(self, snapshot_id: int | None = None) -> bool:
         return not self.snapshot(snapshot_id).entries
@@ -167,7 +171,11 @@ class SnapshotTable:
         rel = os.path.join("data", f"snap-{uuid.uuid4().hex[:12]}-{op}")
         out = os.path.join(self.dir, rel)
         (
-            df.withColumn(_PB, F.col(BUCKET_COL))
+            # hash-repartition on bucket first so each bucket lands wholly in
+            # one task -> exactly one file per bucket per commit instead of
+            # (tasks x buckets) small files
+            df.repartition(F.col(BUCKET_COL))
+            .withColumn(_PB, F.col(BUCKET_COL))
             .write.mode("overwrite")
             .partitionBy(_PB)
             .parquet(out)
@@ -307,6 +315,18 @@ class SnapshotTable:
         kept = self.read(spark).filter(f"NOT ({condition})")
         new_entries = self._write_data(kept, "delete")
         return self._commit(new_entries, "delete", summary or {})
+
+    def max_dirs_per_bucket(self) -> int:
+        snap = self.snapshot()
+        return max((len(d) for d in snap.entries.values()), default=0)
+
+    def compact(self, spark: SparkSession, summary: dict | None = None) -> int:
+        """Rewrite the table so each bucket is one data dir (Iceberg
+        rewrite_data_files): appends accumulate dirs per bucket; compaction
+        bounds read amplification."""
+        if self.is_empty():
+            return self.current_snapshot_id()
+        return self.overwrite(self.read(spark), summary or {"op": "compact"})
 
     def expire_snapshots(self, keep_last: int = 10) -> None:
         """GC old manifests + unreferenced data dirs (Iceberg expire_snapshots)."""
