@@ -26,6 +26,7 @@ image bytes.
 from __future__ import annotations
 
 import datetime as dt
+import os
 from typing import Iterator
 
 import numpy as np
@@ -39,7 +40,12 @@ CATEGORIES = [  # the reference's 8 default categories (main.py:177-178)
     "general", "world", "business", "technology",
     "entertainment", "sports", "science", "health",
 ]
-SIZES = np.array([16, 32, 64, 128])
+# image side lengths; override via env for scale benches with heavier
+# payloads (workers inherit the env in local mode, so generation stays
+# deterministic for a given setting)
+SIZES = np.array(
+    [int(x) for x in os.environ.get("SPARK_GRAFT_IMG_SIZES", "16,32,64,128").split(",")]
+)
 FMTS = ["ppm", "bmp", "qpng"]
 ZIPF_S = 1.2
 VOCAB = (

@@ -15,7 +15,7 @@ from pyspark.sql import SparkSession
 
 # Arrow batches carry multi-MB image payloads through pandas UDFs; cap rows
 # per batch so a batch stays well under executor memory even at 128x128 RGB.
-ARROW_MAX_RECORDS = 2048
+ARROW_MAX_RECORDS = int(os.environ.get("SPARK_GRAFT_ARROW_BATCH", "2048"))
 
 
 def default_parallelism() -> int:

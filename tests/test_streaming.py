@@ -1,0 +1,114 @@
+"""Structured Streaming: seed ingestion, stateful politeness, windowed aggs."""
+
+import datetime as dt
+import os
+
+import numpy as np
+import pytest
+
+from newscrawler_spark import datagen
+from newscrawler_spark.engine.crawl import CrawlEngine
+from newscrawler_spark.streaming import drain_stream as DS
+
+
+@pytest.fixture()
+def seeds_dir(spark, small_cfg, tmp_path):
+    d = tmp_path / "seeds_in"
+    d.mkdir()
+    pdf = datagen.gen_seeds_pdf(np.arange(200), small_cfg.seed, small_cfg.n_hosts)
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(str(d / "wave1"))
+    return d
+
+
+def test_stream_seed_ingest_dedups_into_frontier(spark, small_cfg, tmp_path, seeds_dir):
+    eng = CrawlEngine(spark, str(tmp_path / "cat"), small_cfg)
+    q = DS.stream_seed_ingest(
+        spark, str(seeds_dir / "*"), eng, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    n1 = eng.frontier.read(spark).count()
+    assert n1 > 0
+    seen1 = {r["url_hash"] for r in eng.seen.read(spark).collect()}
+    assert len(seen1) == n1  # every frontier row is in seen, exactly once
+
+    # second wave: overlapping URLs must not re-enter the frontier
+    pdf = datagen.gen_seeds_pdf(np.arange(150, 350), small_cfg.seed, small_cfg.n_hosts)
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(str(seeds_dir / "wave2"))
+    q2 = DS.stream_seed_ingest(
+        spark, str(seeds_dir / "*"), eng, str(tmp_path / "ckpt")
+    )
+    q2.awaitTermination(120)
+    n2 = eng.frontier.read(spark).count()
+    seen2 = {r["url_hash"] for r in eng.seen.read(spark).collect()}
+    assert n2 > n1
+    assert len(seen2) == n2
+    # frontier still unique on url_hash
+    assert eng.frontier.read(spark).select("url_hash").distinct().count() == n2
+
+
+def test_politeness_clock_stream(spark, tmp_path):
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        ("a.com", base + dt.timedelta(seconds=s)) for s in (0, 1, 2, 3, 10)
+    ] + [("b.com", base + dt.timedelta(seconds=s)) for s in (0, 5)]
+    src = tmp_path / "events"
+    src.mkdir()
+    spark.createDataFrame(rows, "host string, ts timestamp").coalesce(1).write.parquet(
+        str(src / "f1")
+    )
+    stream = spark.readStream.schema("host string, ts timestamp").parquet(
+        str(src / "*")
+    )
+    gated = DS.politeness_clock_stream(stream, min_interval_s=2.0)
+    out = (
+        gated.writeStream.format("memory")
+        .queryName("polite_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    out.awaitTermination(120)
+    res = {
+        (r["host"], r["ts"].second): r["admitted"]
+        for r in spark.sql("select * from polite_out").collect()
+    }
+    # a.com: 0 ok, 1 blocked (<2s), 2 ok, 3 blocked, 10 ok
+    assert res[("a.com", 0)] is True
+    assert res[("a.com", 1)] is False
+    assert res[("a.com", 2)] is True
+    assert res[("a.com", 3)] is False
+    assert res[("a.com", 10)] is True
+    assert res[("b.com", 0)] is True and res[("b.com", 5)] is True
+
+
+def test_windowed_fetch_metrics(spark, tmp_path):
+    base = dt.datetime(2024, 1, 1)
+    rows = [("a.com", base + dt.timedelta(seconds=s)) for s in (0, 10, 70)] + [
+        ("b.com", base + dt.timedelta(seconds=5))
+    ]
+    src = tmp_path / "ev2"
+    src.mkdir()
+    spark.createDataFrame(rows, "host string, ts timestamp").coalesce(1).write.parquet(
+        str(src / "f1")
+    )
+    stream = spark.readStream.schema("host string, ts timestamp").parquet(
+        str(src / "*")
+    )
+    agg = DS.windowed_fetch_metrics(stream)
+    # complete mode: a finite availableNow source never advances the
+    # watermark past the last window, so append would emit nothing
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["host"], r["start"].minute): r["n_fetches"]
+        for r in spark.sql("select * from win_out").collect()
+    }
+    assert got[("a.com", 0)] == 2
+    assert got[("a.com", 1)] == 1
+    assert got[("b.com", 0)] == 1
