@@ -94,6 +94,7 @@ class CrawlConfig:
     batch_size: int = 2000       # global fetches per epoch
     host_quota: int = field(default_factory=datagen.host_quota)  # 30/epoch
     salt_buckets: int = 8        # S for the two-phase skew-safe host rank
+    salt_min_rows: int = 100_000  # skip phase 1 below this frontier size
     max_retries: int = 3
     expand: bool = True          # full-coverage link expansion on/off
     min_caption_len: int = 1000  # crawl admission filter (main.py:183-184)
@@ -107,10 +108,13 @@ class CrawlEngine:
         self.frontier = self.catalog.table("frontier", FRONTIER_DDL)
         self.seen = self.catalog.table("seen", SEEN_DDL)
         self.store = self.catalog.table("store", STORE_DDL)
-        self.host_state = self.catalog.table("host_state", HOST_STATE_DDL)
-        self.fetch_log = self.catalog.table("fetch_log", FETCH_LOG_DDL)
-        self.crawl_order = self.catalog.table("crawl_order", ORDER_DDL)
+        # host_state/lineage tables are small: no bucket dirs, no
+        # shuffle-per-commit
+        self.host_state = self.catalog.table("host_state", HOST_STATE_DDL, partitioned=False)
+        self.fetch_log = self.catalog.table("fetch_log", FETCH_LOG_DDL, partitioned=False)
+        self.crawl_order = self.catalog.table("crawl_order", ORDER_DDL, partitioned=False)
         self._payload: DataFrame | None = None
+        self._frontier_est: int | None = None  # driver-side size estimate
 
     # ------------------------------------------------------------ payload
 
@@ -175,14 +179,23 @@ class CrawlEngine:
             return self.spark.createDataFrame([], FRONTIER_DDL + ", seq long")
         eligible = self.frontier.read(self.spark).filter(F.col("not_before") <= epoch)
 
-        # Phase 1: skew-safe overapproximation within (host, salt).
-        salt = F.pmod(F.col("url_hash"), F.lit(cfg.salt_buckets))
-        w1 = Window.partitionBy("host", salt).orderBy(*rank_keys())
-        cand = (
-            eligible.withColumn("_lr", F.row_number().over(w1))
-            .filter(F.col("_lr") <= cfg.host_quota)
-            .drop("_lr")
-        )
+        if self._frontier_est is None:
+            self._frontier_est = self.frontier.read(self.spark).count()
+
+        # Phase 1: skew-safe overapproximation within (host, salt) — worth
+        # its extra shuffle only once the frontier is big enough for a hot
+        # host to dominate a task (semantics identical either way; phase 2
+        # is the exact quota).
+        if cfg.salt_buckets > 1 and self._frontier_est >= cfg.salt_min_rows:
+            salt = F.pmod(F.col("url_hash"), F.lit(cfg.salt_buckets))
+            w1 = Window.partitionBy("host", salt).orderBy(*rank_keys())
+            cand = (
+                eligible.withColumn("_lr", F.row_number().over(w1))
+                .filter(F.col("_lr") <= cfg.host_quota)
+                .drop("_lr")
+            )
+        else:
+            cand = eligible
         # Phase 2: exact per-host quota on the <= S*quota survivors.
         w2 = Window.partitionBy("host").orderBy(*rank_keys())
         survivors = (
@@ -326,7 +339,41 @@ class CrawlEngine:
 
         results = self.fetch_batch(batch).cache()
 
-        # --- store MERGE: valid + admission filter (caption >= 1000 chars)
+        # per-bucket lineage metrics in ONE aggregation pass over results;
+        # also materializes the results cache and hands every downstream
+        # commit its touched-bucket list for free
+        failed_c = F.col("status") != 200
+        log_rows = (
+            results.groupBy("bucket")
+            .agg(
+                F.count("*").alias("n_fetched"),
+                F.sum(
+                    (F.col("valid") & (F.col("caption_len") >= cfg.min_caption_len)).cast("long")
+                ).alias("n_stored"),
+                F.sum(
+                    (F.col("valid") & (F.col("caption_len") < cfg.min_caption_len)).cast("long")
+                ).alias("n_rejected"),
+                F.sum(
+                    (~F.col("valid") & (F.col("status") == 200)).cast("long")
+                ).alias("n_invalid"),
+                F.sum(
+                    (failed_c & (F.col("retry_count") < cfg.max_retries)).cast("long")
+                ).alias("n_retry"),
+                F.sum(
+                    (failed_c & (F.col("retry_count") >= cfg.max_retries)).cast("long")
+                ).alias("n_dead"),
+            )
+            .collect()
+        )
+        batch_buckets = [r["bucket"] for r in log_rows]
+        store_buckets = [r["bucket"] for r in log_rows if r["n_stored"] > 0]
+        n_dead = sum(r["n_dead"] for r in log_rows)
+        n_retry = sum(r["n_retry"] for r in log_rows)
+        n_stored_total = sum(r["n_stored"] for r in log_rows)
+
+        # --- store MERGE: valid + admission filter (caption >= 1000 chars);
+        # first_epoch preserved for re-stored rows inside the merge itself
+        # (upsert-update keeps created_at, main.py:214-227)
         stored = (
             results.filter(F.col("valid") & (F.col("caption_len") >= cfg.min_caption_len))
             .select(
@@ -336,18 +383,10 @@ class CrawlEngine:
                 F.lit(epoch).alias("last_epoch"),
             )
         )
-        # preserve first_epoch for re-stored rows (upsert-update semantics,
-        # main.py:214-227: update keeps created_at, bumps updated_at)
-        if not self.store.is_empty():
-            old = self.store.read(spark).select(
-                "url_hash", F.col("first_epoch").alias("_old_first")
-            )
-            stored = (
-                stored.join(old, on="url_hash", how="left")
-                .withColumn("first_epoch", F.coalesce("_old_first", "first_epoch"))
-                .drop("_old_first")
-            )
-        store_id = self.store.merge_upsert(spark, stored, "url_hash", set_pointer=True)
+        store_id = self.store.merge_upsert(
+            spark, stored, "url_hash",
+            touched=store_buckets, preserve_cols=["first_epoch"],
+        )
 
         # --- retries / dead letters (403/429 backoff re-queue, T4)
         failures = results.filter(F.col("status") != 200).select("url_hash", "status")
@@ -400,10 +439,13 @@ class CrawlEngine:
                 .withColumn("not_before", F.lit(epoch + 1))
                 .select(*[c.strip().split(" ")[0] for c in FRONTIER_DDL.split(",")])
             ).cache()
-            n_discovered = discovered.count()
+            disc_stats = discovered.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+            n_discovered = sum(r["n"] for r in disc_stats)
+            disc_buckets = [r["bucket"] for r in disc_stats]
         else:
             discovered = spark.createDataFrame([], FRONTIER_DDL)
             n_discovered = 0
+            disc_buckets = []
 
         # --- commit: frontier delete+insert, seen append, host_state MERGE,
         #     lineage append, crawl order append, checkpoint.
@@ -411,6 +453,7 @@ class CrawlEngine:
         frontier_id = self.frontier.merge_delta(
             spark, batch.select("url_hash", "bucket"), inserts, "url_hash",
             {"epoch": epoch},
+            touched=sorted(set(batch_buckets) | set(disc_buckets)),
         )
         seen_id = (
             self.seen.append(discovered.select("url_hash", "bucket"))
@@ -437,33 +480,6 @@ class CrawlEngine:
         host_delta = host_delta.select("host", "host_hash", "bucket", "last_epoch", "fetch_count")
         host_id = self.host_state.merge_upsert(spark, host_delta, "host")
 
-        # per-bucket lineage metrics in ONE aggregation pass over results
-        # (n_retry/n_dead derivable because retry_count rode through fetch)
-        failed_c = F.col("status") != 200
-        log_rows = (
-            results.groupBy("bucket")
-            .agg(
-                F.count("*").alias("n_fetched"),
-                F.sum(
-                    (F.col("valid") & (F.col("caption_len") >= cfg.min_caption_len)).cast("long")
-                ).alias("n_stored"),
-                F.sum(
-                    (F.col("valid") & (F.col("caption_len") < cfg.min_caption_len)).cast("long")
-                ).alias("n_rejected"),
-                F.sum(
-                    (~F.col("valid") & (F.col("status") == 200)).cast("long")
-                ).alias("n_invalid"),
-                F.sum(
-                    (failed_c & (F.col("retry_count") < cfg.max_retries)).cast("long")
-                ).alias("n_retry"),
-                F.sum(
-                    (failed_c & (F.col("retry_count") >= cfg.max_retries)).cast("long")
-                ).alias("n_dead"),
-            )
-            .collect()
-        )
-        n_dead = sum(r["n_dead"] for r in log_rows)
-        n_stored_total = sum(r["n_stored"] for r in log_rows)
         log = spark.createDataFrame(
             [
                 (
@@ -493,6 +509,11 @@ class CrawlEngine:
         # bound read amplification on the append-only seen table
         if self.seen.max_dirs_per_bucket() > 6:
             self.seen.compact(spark, {"epoch": epoch})
+
+        # advance the driver-side frontier size estimate (exact: the epoch
+        # removed the batch and re-inserted retries + discoveries)
+        if self._frontier_est is not None:
+            self._frontier_est += n_retry + n_discovered - int(n_batch)
 
         stats = {
             "epoch": epoch,

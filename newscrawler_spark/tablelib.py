@@ -96,10 +96,19 @@ class Snapshot:
 class SnapshotTable:
     """One bucketed table with snapshot isolation and COW merges."""
 
-    def __init__(self, root: str, name: str, schema_ddl: str | None = None):
+    def __init__(
+        self,
+        root: str,
+        name: str,
+        schema_ddl: str | None = None,
+        partitioned: bool = True,
+    ):
         self.dir = os.path.join(root, name)
         self.name = name
         self.schema_ddl = schema_ddl
+        # small lineage/state tables skip bucket dirs (no pruning need, and
+        # a shuffle-per-commit would be pure overhead)
+        self.partitioned = partitioned
         os.makedirs(os.path.join(self.dir, "manifests"), exist_ok=True)
         os.makedirs(os.path.join(self.dir, "data"), exist_ok=True)
         if not os.path.exists(self._version_path()):
@@ -148,7 +157,7 @@ class SnapshotTable:
         snap = self.snapshot(snapshot_id)
         paths: list[str] = []
         for b, dirs in snap.entries.items():
-            if buckets is not None and int(b) not in buckets:
+            if buckets is not None and self.partitioned and int(b) not in buckets:
                 continue  # manifest-level partition pruning
             paths.extend(os.path.join(self.dir, d) for d in dirs)
         if not paths:
@@ -170,6 +179,9 @@ class SnapshotTable:
         """Write df partitioned by bucket; return {bucket: [reldir]}."""
         rel = os.path.join("data", f"snap-{uuid.uuid4().hex[:12]}-{op}")
         out = os.path.join(self.dir, rel)
+        if not self.partitioned:
+            df.write.mode("overwrite").parquet(out)
+            return {"all": [rel]}
         (
             # hash-repartition on bucket first so each bucket lands wholly in
             # one task -> exactly one file per bucket per commit instead of
@@ -220,6 +232,8 @@ class SnapshotTable:
         key: str,
         summary: dict | None = None,
         set_pointer: bool = True,
+        touched: list[int] | None = None,
+        preserve_cols: list[str] | None = None,
     ) -> int:
         """MERGE INTO self USING delta ON key — last-writer-wins, COW.
 
@@ -228,13 +242,33 @@ class SnapshotTable:
         bucket-pruned read + anti-join + union, i.e. a storage-partitioned
         merge: at scale both sides are already hashed by the same bucket
         function, so no full-table shuffle happens.
+
+        ``touched``: pass the delta's bucket list when the caller already
+        knows it (saves a distinct+collect job). ``preserve_cols``: columns
+        whose MATCHED value keeps the current row's value (the reference's
+        update-keeps-created_at upsert, main.py:214-227) — folded into the
+        merge's own bucket-pruned read, no extra table scan.
         """
+        if not self.partitioned:
+            # small table: plain full COW rewrite
+            if not self.is_empty():
+                current = self.read(spark)
+                if preserve_cols:
+                    delta = self._apply_preserve(current, delta, key, preserve_cols)
+                kept = current.join(delta.select(key).distinct(), on=key, how="left_anti")
+                delta = kept.unionByName(delta)
+            new_entries = self._write_data(delta, "merge")
+            return self._commit(new_entries, "merge", summary or {}, set_pointer)
+
         delta = delta.cache()
-        touched = [r[0] for r in delta.select(BUCKET_COL).distinct().collect()]
+        if touched is None:
+            touched = [r[0] for r in delta.select(BUCKET_COL).distinct().collect()]
         entries = {b: list(d) for b, d in self.snapshot().entries.items()}
         have = [b for b in touched if str(b) in entries]
         if have:
             current = self.read(spark, buckets=have)
+            if preserve_cols:
+                delta = self._apply_preserve(current, delta, key, preserve_cols)
             kept = current.join(
                 delta.select(key).distinct(), on=key, how="left_anti"
             )
@@ -252,6 +286,18 @@ class SnapshotTable:
         delta.unpersist()
         return self._commit(entries, "merge", summary or {}, set_pointer)
 
+    @staticmethod
+    def _apply_preserve(
+        current: DataFrame, delta: DataFrame, key: str, preserve_cols: list[str]
+    ) -> DataFrame:
+        old = current.select(
+            key, *[F.col(c).alias(f"__old_{c}") for c in preserve_cols]
+        )
+        out = delta.join(old, on=key, how="left")
+        for c in preserve_cols:
+            out = out.withColumn(c, F.coalesce(f"__old_{c}", c)).drop(f"__old_{c}")
+        return out
+
     def merge_delta(
         self,
         spark: SparkSession,
@@ -260,22 +306,31 @@ class SnapshotTable:
         key: str,
         summary: dict | None = None,
         set_pointer: bool = True,
+        touched: list[int] | None = None,
     ) -> int:
         """MERGE with WHEN MATCHED DELETE + NOT MATCHED INSERT semantics.
 
         The frontier's per-epoch update (drop fetched rows, add retries +
         discoveries) in one partition-level COW commit. ``delete_keys``
         needs (key, bucket); ``inserts`` is full-schema rows. Only buckets
-        touched by either side are rewritten.
+        touched by either side are rewritten. Pass ``touched`` when the
+        caller already knows the union of affected buckets.
         """
         entries = {b: list(d) for b, d in self.snapshot().entries.items()}
-        touched: set[int] = set()
-        if delete_keys is not None:
-            delete_keys = delete_keys.select(key, BUCKET_COL).cache()
-            touched |= {r[0] for r in delete_keys.select(BUCKET_COL).distinct().collect()}
-        if inserts is not None:
-            inserts = inserts.cache()
-            touched |= {r[0] for r in inserts.select(BUCKET_COL).distinct().collect()}
+        if touched is None:
+            touched = set()
+            if delete_keys is not None:
+                delete_keys = delete_keys.select(key, BUCKET_COL).cache()
+                touched |= {
+                    r[0] for r in delete_keys.select(BUCKET_COL).distinct().collect()
+                }
+            if inserts is not None:
+                inserts = inserts.cache()
+                touched |= {r[0] for r in inserts.select(BUCKET_COL).distinct().collect()}
+        else:
+            touched = set(touched)
+            if delete_keys is not None:
+                delete_keys = delete_keys.select(key, BUCKET_COL)
         have = [b for b in touched if str(b) in entries]
         parts = []
         if have:
@@ -361,9 +416,11 @@ class Catalog:
         os.makedirs(root, exist_ok=True)
         self._tables: dict[str, SnapshotTable] = {}
 
-    def table(self, name: str, schema_ddl: str | None = None) -> SnapshotTable:
+    def table(
+        self, name: str, schema_ddl: str | None = None, partitioned: bool = True
+    ) -> SnapshotTable:
         if name not in self._tables:
-            self._tables[name] = SnapshotTable(self.root, name, schema_ddl)
+            self._tables[name] = SnapshotTable(self.root, name, schema_ddl, partitioned)
         elif schema_ddl and self._tables[name].schema_ddl is None:
             self._tables[name].schema_ddl = schema_ddl
         return self._tables[name]

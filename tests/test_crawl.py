@@ -132,8 +132,9 @@ def test_host_quota_exact(spark, small_cfg, seed_rows, tmp_path_factory):
 
 def test_salt_invariance(spark, small_cfg, tmp_path_factory):
     """Changing salt bucket count must not change the crawl order."""
-    cfg_a = dataclasses.replace(small_cfg, salt_buckets=1)
-    cfg_b = dataclasses.replace(small_cfg, salt_buckets=16)
+    # salt_min_rows=0 forces the salted two-phase path even at test scale
+    cfg_a = dataclasses.replace(small_cfg, salt_buckets=1, salt_min_rows=0)
+    cfg_b = dataclasses.replace(small_cfg, salt_buckets=16, salt_min_rows=0)
     ea = _run_engine(spark, tmp_path_factory.mktemp("sa"), cfg_a, epochs=2)
     eb = _run_engine(spark, tmp_path_factory.mktemp("sb"), cfg_b, epochs=2)
     oa = sorted(
