@@ -1,0 +1,196 @@
+"""Operator tests: dedup, similarity, text stats, multimodal plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from newscrawler_spark import codecs, datagen
+from newscrawler_spark.functions import dedup as D
+from newscrawler_spark.functions import multimodal as MM
+from newscrawler_spark.functions import similarity as SIM
+from newscrawler_spark.functions import text as T
+from newscrawler_spark.functions import textstats as TS
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy dog near the river bank tonight"),  # near dup
+    (4, "completely different content about spark dataframes and shuffle tuning"),
+    (5, "der schnelle braune fuchs springt und das ist nicht mit einem hund"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_lowest_id(spark, docs):
+    out = {r["doc_id"] for r in D.exact_dedup(docs, "text", "doc_id").collect()}
+    assert out == {1, 3, 4, 5}
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    sig = D.minhash_signature(docs, "doc_id", "text", num_hashes=32)
+    assert sig.count() == 5
+    pairs = D.lsh_candidate_pairs(sig, "doc_id", bands=16, rows_per_band=2)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got  # identical docs always collide
+    verified = D.jaccard_pairs(docs, "doc_id", "text", pairs, threshold=0.7)
+    vp = {(r["id_a"], r["id_b"]) for r in verified.collect()}
+    assert (1, 2) in vp
+    survivors = {r["doc_id"] for r in D.minhash_dedup(docs, "doc_id", "text", 0.7).collect()}
+    assert 1 in survivors and 2 not in survivors
+    assert 4 in survivors and 5 in survivors
+
+
+def test_simhash_near_pairs(spark, docs):
+    sh = D.simhash(docs, "doc_id", "text")
+    vals = {r["doc_id"]: r["simhash"] for r in sh.collect()}
+    assert vals[1] == vals[2]  # identical text -> identical simhash
+    pairs = D.simhash_near_pairs(sh, "doc_id", max_hamming=16)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got[(1, 2)] == 0
+    # near-dup 1-3 should be within a small distance; 1-4 should not pair at 16
+    if (1, 3) in got:
+        assert got[(1, 3)] <= 16
+    assert (1, 4) not in got or got[(1, 4)] > 10
+
+
+def test_shingles_and_jaccard_extremes(spark, docs):
+    sh = docs.select("doc_id", D.shingles_col(F.col("text"), 3).alias("s")).collect()
+    by_id = {r["doc_id"]: set(r["s"]) for r in sh}
+    assert by_id[1] == by_id[2]
+    assert len(by_id[1] & by_id[4]) == 0
+
+
+def test_lang_id_markers(spark, docs):
+    out = {r["doc_id"]: r["pred_lang"] for r in TS.lang_id(docs, "text").collect()}
+    assert out[1] == "en"
+    assert out[5] == "de"
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(1, "hello, world! 42 times")], "id long, text string")
+    r = df.select(
+        TS.token_count_ws(F.col("text")).alias("ws"),
+        TS.token_count_bpe_ish(F.col("text")).alias("bpe"),
+    ).first()
+    assert r["ws"] == 4
+    # hello , world ! 42 times -> 6
+    assert r["bpe"] == 6
+
+
+def test_quality_features_ratios(spark):
+    df = spark.createDataFrame([(1, "the cat, the hat!")], "id long, text string")
+    r = TS.quality_features(df, "text").first()
+    assert r["n_tokens"] == 4
+    assert r["n_punct"] == 2
+    assert r["n_stopwords"] == 2
+    assert r["stopword_ratio"] == 0.5
+
+
+def test_winnow_fingerprints_properties(spark, docs):
+    fps = {r["doc_id"]: r["fps"] for r in TS.winnow_fingerprints(docs, "doc_id", "text").collect()}
+    assert fps[1] == fps[2]  # identical docs -> identical fingerprints
+    assert fps[1] != fps[4]
+    # near-dup shares most fingerprints
+    inter = len(set(fps[1]) & set(fps[3]))
+    assert inter / len(set(fps[1]) | set(fps[3])) > 0.5
+
+
+def test_cosine_topk_exact(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = SIM.cosine_topk(df, "embedding", [1.0, 0.0, 0.0], k=3).collect()
+    assert [r["vec_id"] for r in out] == [0, 1, 2]
+    assert out[0]["cos_sim"] == pytest.approx(1.0)
+
+
+def test_ann_lsh_contains_query_neighbors(spark):
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal(16)
+    rows = [(0, [float(x) for x in base])]
+    for i in range(1, 50):
+        v = base + rng.standard_normal(16) * (0.01 if i < 5 else 2.0)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = SIM.ann_lsh_topk(df, "embedding", [float(x) for x in base], k=5, bits=4)
+    ids = [r["vec_id"] for r in out.collect()]
+    assert 0 in ids  # the query vector itself is in its own bucket
+
+
+def test_embedding_near_dup_pairs_blocked(spark):
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.999, 0.001]),
+        (2, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = SIM.embedding_near_dup_pairs(df, "embedding", threshold=0.99, bits=2)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 1) in got
+    assert all(p != (0, 2) and p != (1, 2) for p in got)
+
+
+def test_decode_features_real_and_stub(spark):
+    payload = datagen.gen_payload_spark(spark, 20, 42)
+    out = MM.decode_features(payload).collect()
+    assert len(out) == 20
+    assert all(r["ok"] for r in out)
+    # stubbed external format
+    ext = spark.createDataFrame(
+        [("x-1", bytearray(b"\xff\xd8\xff"), "jpeg")],
+        "image_id string, bytes binary, fmt string",
+    )
+    r = MM.decode_features(ext).first()
+    assert r["ok"] is False and r["reason"] == "codec_unavailable"
+
+
+def test_resize_block_mean(spark):
+    payload = datagen.gen_payload_spark(spark, 5, 42)
+    out = {r["image_id"]: r for r in MM.resize_images(payload, factor=2).collect()}
+    src = {r["image_id"]: r for r in payload.collect()}
+    for iid, r in out.items():
+        assert r["ok"]
+        assert r["w"] == src[iid]["w"] // 2 and r["h"] == src[iid]["h"] // 2
+        arr = codecs.decode_ppm(bytes(r["bytes"]))
+        assert arr.shape == (r["h"], r["w"], 3)
+
+
+def test_text_function_parity_examples(spark):
+    df = spark.createDataFrame(
+        [("  Hello\x00\x1f   World\t!  ",)], "s string"
+    )
+    r = df.select(
+        T.clean_text(F.col("s")).alias("c"),
+        T.summary_200(F.lit("x" * 300)).alias("sm"),
+        T.strip_source_suffix(F.lit("Big Story - CNN")).alias("st"),
+        T.normalize_name(F.lit("U.S.  News & World")).alias("nn"),
+        T.digits_only_long(F.lit("1,234,567 views")).alias("d"),
+        T.domain_of(F.lit("https://WWW.Example.com/a")).alias("dom"),
+        T.resolve_relative(F.lit("./topics/x"), "https://news.google.com").alias("rr"),
+    ).first()
+    assert r["c"] == "Hello World !"
+    assert r["sm"] == "x" * 200 + "..."
+    assert r["st"] == "Big Story"
+    assert r["nn"] == "us news and world"
+    assert r["d"] == 1234567
+    assert r["dom"] == "example.com"
+    assert r["rr"] == "https://news.google.com/topics/x"
+
+
+def test_regex_cascade_first_match_wins(spark):
+    df = spark.createDataFrame([('<meta name="title" content="A"/>',)], "html string")
+    out = df.select(
+        T.regex_cascade(
+            F.col("html"),
+            [r'og:title" content="([^"]*)"', r'name="title" content="([^"]*)"'],
+        ).alias("t")
+    ).first()
+    assert out["t"] == "A"
