@@ -130,13 +130,20 @@ def gen_payload_pdf(indices: np.ndarray, seed: int) -> pd.DataFrame:
 
 
 def gen_payload_spark(spark, n: int, seed: int = 42):
-    """Distributed payload generation: range → mapInPandas (scales linearly)."""
+    """Distributed payload generation: range → mapInPandas (scales linearly).
+
+    Partition count is >= 4x cores even for small n: the fetch stage's
+    decode UDF inherits this partitioning through the broadcast join, so an
+    under-partitioned payload table would serialize the decode regardless
+    of executor count.
+    """
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield gen_payload_pdf(pdf["id"].to_numpy(), seed)
 
-    parts = max(8, min(256, n // 512 or 1))
+    cores = spark.sparkContext.defaultParallelism
+    parts = min(max(4 * cores, n // 512 or 1), 1024, max(n, 1))
     return spark.range(0, n, numPartitions=parts).mapInPandas(gen, PAYLOAD_SCHEMA)
 
 
