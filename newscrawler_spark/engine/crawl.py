@@ -64,7 +64,12 @@ FETCH_LOG_DDL = (
     "epoch int, bucket int, n_fetched long, n_stored long, n_rejected long, "
     "n_invalid long, n_retry long, n_dead long, n_discovered long, n_new_frontier long"
 )
-ORDER_DDL = "epoch int, seq long, url_hash long, bucket int"
+# crawl_order persists the ranking *keys*; seq is derived at read time
+# (crawl_order_with_seq) so the hot loop never runs a single-task global
+# row_number over the batch
+ORDER_DDL = (
+    "epoch int, url_hash long, bucket int, priority double, discovered_at timestamp"
+)
 
 def _epoch_discovery_ts(epoch: int):
     """discovered_at stamped on URLs found during ``epoch`` (deterministic)."""
@@ -176,7 +181,7 @@ class CrawlEngine:
         """Politeness-gated, priority-ranked fetch batch for this epoch."""
         cfg = self.cfg
         if self.frontier.is_empty():
-            return self.spark.createDataFrame([], FRONTIER_DDL + ", seq long")
+            return self.spark.createDataFrame([], FRONTIER_DDL)
         eligible = self.frontier.read(self.spark).filter(F.col("not_before") <= epoch)
 
         if self._frontier_est is None:
@@ -205,9 +210,7 @@ class CrawlEngine:
         )
         # Global top-K: TakeOrderedAndProject (distributed per-partition
         # top-K + driver merge), never a full global sort.
-        batch = survivors.orderBy(*rank_keys()).limit(cfg.batch_size)
-        wseq = Window.orderBy(*rank_keys())  # <= batch_size rows; single task OK
-        return batch.withColumn("seq", F.row_number().over(wseq).cast("long"))
+        return survivors.orderBy(*rank_keys()).limit(cfg.batch_size)
 
     # -------------------------------------------------------------- fetch
 
@@ -222,7 +225,7 @@ class CrawlEngine:
         """
         seed = self.cfg.seed
         out_schema = (
-            "url_hash long, bucket int, host string, seq long, status int, "
+            "url_hash long, bucket int, host string, status int, "
             "retry_count int, "
             "image_id string, caption string, phash long, w int, h int, fmt string, "
             "valid boolean, reason string, psnr double, caption_len int"
@@ -266,7 +269,6 @@ class CrawlEngine:
                         "url_hash": pdf["url_hash"],
                         "bucket": pdf["bucket"],
                         "host": pdf["host"],
-                        "seq": pdf["seq"],
                         "status": pdf["status"],
                         "retry_count": pdf["retry_count"],
                         "image_id": pdf["image_id"],
@@ -307,7 +309,7 @@ class CrawlEngine:
         failed = (
             b.filter(F.col("status") != 200)
             .select(
-                "url_hash", "bucket", "host", "seq", "status", "retry_count",
+                "url_hash", "bucket", "host", "status", "retry_count",
                 F.lit(None).cast("string").alias("image_id"),
                 F.lit(None).cast("string").alias("caption"),
                 F.lit(None).cast("long").alias("phash"),
@@ -493,7 +495,10 @@ class CrawlEngine:
         )
         log_id = self.fetch_log.append(log)
         order_id = self.crawl_order.append(
-            batch.select(F.lit(epoch).alias("epoch"), "seq", "url_hash", "bucket")
+            batch.select(
+                F.lit(epoch).alias("epoch"), "url_hash", "bucket",
+                "priority", "discovered_at",
+            )
         )
         self.catalog.checkpoint(
             epoch,
@@ -528,6 +533,16 @@ class CrawlEngine:
         return stats
 
     # -------------------------------------------------------------- drive
+
+    def crawl_order_with_seq(self) -> DataFrame:
+        """(epoch, seq, url_hash, bucket): seq derived from the persisted
+        ranking keys — identical to the order the batch was drained in."""
+        w = Window.partitionBy("epoch").orderBy(*rank_keys())
+        return (
+            self.crawl_order.read(self.spark)
+            .withColumn("seq", F.row_number().over(w).cast("long"))
+            .select("epoch", "seq", "url_hash", "bucket")
+        )
 
     def resume_epoch(self) -> int:
         """Next epoch to run, after rolling tables back to the checkpoint."""

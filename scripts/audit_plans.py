@@ -1,0 +1,113 @@
+"""Physical-plan audit: assert the plans we designed for are the plans we get.
+
+Checks (and dumps to PLANS.md):
+- parquet scans carry PushedFilters + pruned ReadSchema (predicate pushdown
+  and column pruning reach the scan)
+- small-dim joins are BroadcastHashJoin, not SortMergeJoin
+- global top-k compiles to TakeOrderedAndProject, not a full Sort+Limit
+- the whole-stage-codegen spans cover the scalar-function pipeline
+- the crawl batch ranking uses window + distributed TakeOrdered
+
+Run: python scripts/audit_plans.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import io
+import sys
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from newscrawler_spark.session import get_spark  # noqa: E402
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    old = sys.stdout
+    sys.stdout = buf
+    try:
+        df.explain("formatted")
+    finally:
+        sys.stdout = old
+    return buf.getvalue()
+
+
+def main() -> int:
+    spark = get_spark(cores=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    part = spark.read.parquet(f"{SF}/part.parquet")
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+
+    report = ["# Physical-plan audit\n"]
+    failures = []
+
+    # 1. pushdown + pruning
+    q1 = li.filter(F.col("l_quantity") > 45).select("l_orderkey", "l_quantity")
+    p1 = plan_of(q1)
+    ok1 = "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]" in p1
+    ok1b = "l_orderkey" in p1.split("ReadSchema")[-1] and "l_comment" not in p1
+    report.append(f"## scan pushdown+pruning: {'OK' if ok1 and ok1b else 'FAIL'}\n```\n{p1}\n```\n")
+    if not (ok1 and ok1b):
+        failures.append("pushdown")
+
+    # 2. broadcast join for small dim
+    q2 = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).groupBy(
+        "p_brand"
+    ).count()
+    p2 = plan_of(q2)
+    ok2 = "BroadcastHashJoin" in p2
+    report.append(f"## broadcast dim join: {'OK' if ok2 else 'FAIL'}\n```\n{p2}\n```\n")
+    if not ok2:
+        failures.append("broadcast")
+
+    # 3. distributed top-k
+    q3 = ev.orderBy(F.desc("value")).limit(100)
+    p3 = plan_of(q3)
+    ok3 = "TakeOrderedAndProject" in p3
+    report.append(f"## top-k = TakeOrderedAndProject: {'OK' if ok3 else 'FAIL'}\n```\n{p3}\n```\n")
+    if not ok3:
+        failures.append("topk")
+
+    # 4. codegen span over scalar pipeline
+    q4 = ev.select(
+        F.regexp_replace(F.lower("event_type"), "e", "E").alias("a"),
+        (F.col("value") * 2 + 1).alias("b"),
+    ).filter(F.col("b") > 10)
+    p4 = plan_of(q4)
+    ok4 = "WholeStageCodegen" in p4
+    report.append(f"## codegen span: {'OK' if ok4 else 'FAIL'}\n```\n{p4}\n```\n")
+    if not ok4:
+        failures.append("codegen")
+
+    # 5. crawl ranking plan (window + TakeOrdered, no global sort)
+    from newscrawler_spark import datagen
+    from newscrawler_spark.engine.crawl import CrawlConfig, CrawlEngine
+    import tempfile
+
+    cfg = CrawlConfig(n_seed_urls=2000, n_hosts=50, n_payload=200, batch_size=500,
+                      bucket_count=16, salt_min_rows=0)
+    root = tempfile.mkdtemp(prefix="audit-")
+    eng = CrawlEngine(spark, root, cfg)
+    eng.bootstrap(datagen.gen_seeds_spark(spark, cfg.n_seed_urls, cfg.seed, cfg.n_hosts))
+    p5 = plan_of(eng.select_batch(0))
+    ok5 = "TakeOrderedAndProject" in p5 and "Window" in p5
+    report.append(
+        f"## crawl batch ranking (salted window + TakeOrdered): {'OK' if ok5 else 'FAIL'}\n```\n{p5}\n```\n"
+    )
+    if not ok5:
+        failures.append("crawl-rank")
+
+    with open("PLANS.md", "w") as f:
+        f.write("\n".join(report))
+    print("audit:", "ALL OK" if not failures else f"FAILURES: {failures}")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

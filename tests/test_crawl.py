@@ -51,7 +51,7 @@ def oracle(seed_rows, small_cfg):
 def test_crawl_order_matches(spark, engine, oracle):
     eng = sorted(
         (r["epoch"], r["seq"], r["url_hash"])
-        for r in engine.crawl_order.read(spark).collect()
+        for r in engine.crawl_order_with_seq().collect()
     )
     assert eng == sorted(oracle.res.order)
     assert len(eng) > 100
@@ -94,7 +94,7 @@ def test_store_matches_and_payload_invariants(spark, engine, oracle, small_cfg):
 
 def test_politeness_quota_never_exceeded(spark, engine, small_cfg):
     """No host is fetched more than host_quota times in any epoch."""
-    order = engine.crawl_order.read(spark)
+    order = engine.crawl_order_with_seq()
     frontier_hosts = engine.seen.read(spark)  # url_hash -> bucket only; use store+log
     # reconstruct host per fetched url_hash from the oracle-shared pure fns
     rows = order.collect()
@@ -138,10 +138,10 @@ def test_salt_invariance(spark, small_cfg, tmp_path_factory):
     ea = _run_engine(spark, tmp_path_factory.mktemp("sa"), cfg_a, epochs=2)
     eb = _run_engine(spark, tmp_path_factory.mktemp("sb"), cfg_b, epochs=2)
     oa = sorted(
-        (r["epoch"], r["seq"], r["url_hash"]) for r in ea.crawl_order.read(spark).collect()
+        (r["epoch"], r["seq"], r["url_hash"]) for r in ea.crawl_order_with_seq().collect()
     )
     ob = sorted(
-        (r["epoch"], r["seq"], r["url_hash"]) for r in eb.crawl_order.read(spark).collect()
+        (r["epoch"], r["seq"], r["url_hash"]) for r in eb.crawl_order_with_seq().collect()
     )
     assert oa == ob
 
@@ -161,7 +161,7 @@ def test_resume_equals_uninterrupted(spark, small_cfg, seed_rows, tmp_path_facto
     orc = _run_oracle(seed_rows, small_cfg)
     eng_order = sorted(
         (r["epoch"], r["seq"], r["url_hash"])
-        for r in eng2.crawl_order.read(spark).collect()
+        for r in eng2.crawl_order_with_seq().collect()
     )
     assert eng_order == sorted(orc.res.order)
     eng_seen = {r["url_hash"] for r in eng2.seen.read(spark).collect()}
