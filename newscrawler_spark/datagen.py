@@ -241,14 +241,36 @@ def fetch_status(url_hash: int, seed: int) -> int:
     Mirrors the reference's failure-handling paths
     (/root/reference/utils/article_extractor.py:361-369) with failures
     derived from url_hash so engine and oracle see identical outcomes.
+
+    Defined as Spark's chained ``xxhash64(lit(k), url_hash)`` (first hash
+    seeds the second) so the engine evaluates it entirely JVM-side
+    (``fetch_status_col``) while the oracle runs this byte-identical
+    Python twin.
     """
-    h = xxh64_long(url_hash, 7 + (seed & 0xFFFF)) & 0x7FFFFFFFFFFFFFFF
-    m = h % 1000
+    k = 7 + (seed & 0xFFFF)
+    import struct
+
+    from .xxh64 import xxh64
+
+    s1 = xxh64(struct.pack("<q", k))  # seed 42, like Spark's first arg
+    h = xxh64(struct.pack("<q", url_hash), s1 & ((1 << 64) - 1))
+    m = h % 1000  # python % == Spark pmod (non-negative)
     if m < 15:
         return 403
     if m < 30:
         return 429
     return 200
+
+
+def fetch_status_col(url_hash_col, seed: int):
+    """JVM-side twin of fetch_status — no Python in the fetch hot path."""
+    from pyspark.sql import functions as F
+
+    k = 7 + (seed & 0xFFFF)
+    m = F.pmod(F.xxhash64(F.lit(k).cast("long"), url_hash_col), F.lit(1000))
+    return (
+        F.when(m < 15, F.lit(403)).when(m < 30, F.lit(429)).otherwise(F.lit(200))
+    ).cast("int")
 
 
 POLITENESS = {

@@ -289,13 +289,9 @@ class CrawlEngine:
     def fetch_batch(self, batch: DataFrame) -> DataFrame:
         """Simulated fetch: status from url_hash, payload by pmod address."""
         cfg = self.cfg
-        seed = cfg.seed
-
-        @F.pandas_udf("int")
-        def status_udf(url_hash: pd.Series) -> pd.Series:
-            return url_hash.map(lambda h: datagen.fetch_status(int(h), seed)).astype("int32")
-
-        b = batch.withColumn("status", status_udf("url_hash")).withColumn(
+        b = batch.withColumn(
+            "status", datagen.fetch_status_col(F.col("url_hash"), cfg.seed)
+        ).withColumn(
             "payload_idx", F.pmod(F.col("url_hash"), F.lit(cfg.n_payload)).cast("long")
         )
         # batch is tiny vs payload: broadcast it so the payload scan joins
