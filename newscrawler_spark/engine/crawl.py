@@ -214,80 +214,70 @@ class CrawlEngine:
 
     # -------------------------------------------------------------- fetch
 
-    def _decode_validate(self, joined: DataFrame) -> DataFrame:
-        """Vectorized decode+validate of fetched payloads (mapInPandas).
+    def _decode_validate_udf(self):
+        """Scalar pandas UDF: decode+validate one Arrow batch of payloads.
 
         Checks per BASELINE.json input_hint: decoded-pixel allclose vs the
         regenerated source (exact for lossless ppm/bmp; PSNR>=40 dB for the
         lossy qpng), dims match, phash match. Never throws — failures land
-        in the `reason` column (error contract of the reference extractor,
+        in the `reason` field (error contract of the reference extractor,
         article_extractor.py:361-410).
+
+        A *scalar* UDF (not mapInPandas) so only its input columns — bytes
+        and small metadata — cross the Arrow boundary; captions and frontier
+        columns stay JVM-side.
         """
         seed = self.cfg.seed
-        out_schema = (
-            "url_hash long, bucket int, host string, status int, "
-            "retry_count int, "
-            "image_id string, caption string, phash long, w int, h int, fmt string, "
-            "valid boolean, reason string, psnr double, caption_len int"
-        )
 
-        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                n = len(pdf)
-                valid = np.zeros(n, dtype=bool)
-                reason = np.full(n, "", dtype=object)
-                psnr_v = np.full(n, float("inf"))
-                for i in range(n):
-                    if pdf["status"].iat[i] != 200:
-                        reason[i] = f"http_{pdf['status'].iat[i]}"
+        @F.pandas_udf("struct<valid:boolean, reason:string, psnr:double>")
+        def decode_udf(
+            data: pd.Series, fmt: pd.Series, w: pd.Series, h: pd.Series,
+            phash: pd.Series, payload_idx: pd.Series,
+        ) -> pd.DataFrame:
+            n = len(data)
+            valid = np.zeros(n, dtype=bool)
+            reason = np.full(n, "", dtype=object)
+            psnr_v = np.full(n, float("inf"))
+            for i in range(n):
+                try:
+                    arr = codecs.decode(data.iat[i], fmt.iat[i])
+                except Exception as e:  # decode failure -> row error
+                    reason[i] = f"decode_error:{type(e).__name__}"
+                    continue
+                ah, aw = arr.shape[:2]
+                if aw != w.iat[i] or ah != h.iat[i]:
+                    reason[i] = "dim_mismatch"
+                    continue
+                expected = datagen.expected_pixels(int(payload_idx.iat[i]), seed)
+                if fmt.iat[i] == "qpng":
+                    p = codecs.psnr(expected, arr)
+                    psnr_v[i] = p
+                    if p < 40.0:
+                        reason[i] = "psnr_below_40"
                         continue
-                    try:
-                        arr = codecs.decode(pdf["bytes"].iat[i], pdf["fmt"].iat[i])
-                    except Exception as e:  # decode failure -> row error
-                        reason[i] = f"decode_error:{type(e).__name__}"
-                        continue
-                    h, w = arr.shape[:2]
-                    if w != pdf["w"].iat[i] or h != pdf["h"].iat[i]:
-                        reason[i] = "dim_mismatch"
-                        continue
-                    expected = datagen.expected_pixels(int(pdf["payload_idx"].iat[i]), seed)
-                    if pdf["fmt"].iat[i] == "qpng":
-                        p = codecs.psnr(expected, arr)
-                        psnr_v[i] = p
-                        if p < 40.0:
-                            reason[i] = "psnr_below_40"
-                            continue
-                    elif not np.array_equal(expected, arr):
-                        reason[i] = "pixel_mismatch"
-                        continue
-                    if codecs.average_phash(arr) != pdf["phash"].iat[i]:
-                        reason[i] = "phash_mismatch"
-                        continue
-                    valid[i] = True
-                yield pd.DataFrame(
-                    {
-                        "url_hash": pdf["url_hash"],
-                        "bucket": pdf["bucket"],
-                        "host": pdf["host"],
-                        "status": pdf["status"],
-                        "retry_count": pdf["retry_count"],
-                        "image_id": pdf["image_id"],
-                        "caption": pdf["caption"],
-                        "phash": pdf["phash"],
-                        "w": pdf["w"],
-                        "h": pdf["h"],
-                        "fmt": pdf["fmt"],
-                        "valid": valid,
-                        "reason": reason,
-                        "psnr": psnr_v,
-                        "caption_len": pdf["caption"].str.len().fillna(0).astype("int32"),
-                    }
-                )
+                elif not np.array_equal(expected, arr):
+                    reason[i] = "pixel_mismatch"
+                    continue
+                if codecs.average_phash(arr) != phash.iat[i]:
+                    reason[i] = "phash_mismatch"
+                    continue
+                valid[i] = True
+            return pd.DataFrame({"valid": valid, "reason": reason, "psnr": psnr_v})
 
-        return joined.mapInPandas(run, out_schema)
+        return decode_udf
+
+    RESULT_COLS = [
+        "url_hash", "bucket", "host", "status", "retry_count",
+        "image_id", "caption", "phash", "w", "h", "fmt",
+        "valid", "reason", "psnr", "caption_len",
+    ]
 
     def fetch_batch(self, batch: DataFrame) -> DataFrame:
-        """Simulated fetch: status from url_hash, payload by pmod address."""
+        """Simulated fetch: status from url_hash, payload by pmod address.
+
+        Failed (non-200) fetches never enter the payload join or the decode
+        UDF; their rows union straight through with an error reason.
+        """
         cfg = self.cfg
         b = batch.withColumn(
             "status", datagen.fetch_status_col(F.col("url_hash"), cfg.seed)
@@ -297,11 +287,19 @@ class CrawlEngine:
         # batch is tiny vs payload: broadcast it so the payload scan joins
         # without a shuffle.
         joined = self.payload_df().join(
-            F.broadcast(b), on="payload_idx", how="inner"
+            F.broadcast(b.filter(F.col("status") == 200)), on="payload_idx", how="inner"
         )
-        fetched = self._decode_validate(joined)
-        # failed fetches never reach the payload join path's decode, but we
-        # must keep their rows: union the non-200 slice straight through.
+        decode_udf = self._decode_validate_udf()
+        ok = joined.withColumn(
+            "_v", decode_udf("bytes", "fmt", "w", "h", "phash", "payload_idx")
+        ).select(
+            "url_hash", "bucket", "host", "status", "retry_count",
+            "image_id", "caption", "phash", "w", "h", "fmt",
+            F.col("_v.valid").alias("valid"),
+            F.col("_v.reason").alias("reason"),
+            F.col("_v.psnr").alias("psnr"),
+            F.length(F.coalesce(F.col("caption"), F.lit(""))).cast("int").alias("caption_len"),
+        )
         failed = (
             b.filter(F.col("status") != 200)
             .select(
@@ -318,16 +316,30 @@ class CrawlEngine:
                 F.lit(0).alias("caption_len"),
             )
         )
-        ok = fetched.filter(F.col("status") == 200)
         return ok.unionByName(failed)
 
     # -------------------------------------------------------------- epoch
 
     def run_epoch(self, epoch: int) -> dict:
+        import os
+        import time as _time
+
+        profile = bool(os.environ.get("CRAWL_PROFILE"))
+        marks: list[tuple[str, float]] = []
+        _t = _time.time()
+
+        def mark(name: str) -> None:
+            nonlocal _t
+            if profile:
+                now = _time.time()
+                marks.append((name, round(now - _t, 2)))
+                _t = now
+
         cfg = self.cfg
         spark = self.spark
         batch = self.select_batch(epoch).cache()
         n_batch = batch.count()
+        mark("select_batch")
         if n_batch == 0:
             # nothing eligible this epoch; pending retries may unlock later
             n_left = 0 if self.frontier.is_empty() else self.frontier.read(spark).count()
@@ -363,6 +375,7 @@ class CrawlEngine:
             )
             .collect()
         )
+        mark("fetch+log_agg")
         batch_buckets = [r["bucket"] for r in log_rows]
         store_buckets = [r["bucket"] for r in log_rows if r["n_stored"] > 0]
         n_dead = sum(r["n_dead"] for r in log_rows)
@@ -385,6 +398,8 @@ class CrawlEngine:
             spark, stored, "url_hash",
             touched=store_buckets, preserve_cols=["first_epoch"],
         )
+
+        mark("store_merge")
 
         # --- retries / dead letters (403/429 backoff re-queue, T4)
         failures = results.filter(F.col("status") != 200).select("url_hash", "status")
@@ -445,6 +460,8 @@ class CrawlEngine:
             n_discovered = 0
             disc_buckets = []
 
+        mark("expand")
+
         # --- commit: frontier delete+insert, seen append, host_state MERGE,
         #     lineage append, crawl order append, checkpoint.
         inserts = retry_rows.unionByName(discovered)
@@ -453,12 +470,14 @@ class CrawlEngine:
             {"epoch": epoch},
             touched=sorted(set(batch_buckets) | set(disc_buckets)),
         )
+        mark("frontier_merge")
         seen_id = (
             self.seen.append(discovered.select("url_hash", "bucket"))
             if n_discovered
             else self.seen.current_snapshot_id()
         )
 
+        mark("seen_append")
         host_delta = (
             batch.groupBy("host", "host_hash", "bucket")
             .agg(F.count("*").alias("_n"))
@@ -478,6 +497,7 @@ class CrawlEngine:
         host_delta = host_delta.select("host", "host_hash", "bucket", "last_epoch", "fetch_count")
         host_id = self.host_state.merge_upsert(spark, host_delta, "host")
 
+        mark("host_merge")
         log = spark.createDataFrame(
             [
                 (
@@ -496,6 +516,7 @@ class CrawlEngine:
                 "priority", "discovered_at",
             )
         )
+        mark("log+order_append")
         self.catalog.checkpoint(
             epoch,
             {
@@ -516,6 +537,8 @@ class CrawlEngine:
         if self._frontier_est is not None:
             self._frontier_est += n_retry + n_discovered - int(n_batch)
 
+        if profile:
+            print(f"[profile] epoch {epoch}: " + ", ".join(f"{n}={s}s" for n, s in marks), flush=True)
         stats = {
             "epoch": epoch,
             "fetched": int(n_batch),
