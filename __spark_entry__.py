@@ -124,7 +124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         orders = _t(spark, sf, "orders")
         return orders.agg(
             F.count("*").alias("total"),
-            F.count(F.when(F.col("o_orderdate") >= F.lit("2024-06-01"), 1)).alias(
+            F.count(F.when(F.col("o_orderdate") >= F.lit("1998-01-01"), 1)).alias(
                 "recent"
             ),
             F.count(F.when(F.col("o_totalprice") > 1000.0, 1)).alias("high_value"),
@@ -326,6 +326,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["json_extract"] = q_json_extract
+
+    def q_cleanup_delete(spark, sf):
+        """S13 predicate delete: survivors of DELETE WHERE older-than."""
+        orders = _t(spark, sf, "orders")
+        return Q.cleanup_old(orders, "o_orderdate", "1999-01-01").select(
+            "o_orderkey", "o_orderdate"
+        )
+
+    q["cleanup_delete"] = q_cleanup_delete
+
+    def q_backfill_domain(spark, sf):
+        """S14 backfill update: fill null domain from url."""
+        docs = _t(spark, sf, "documents")
+        with_urls = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("https://www."), F.col("source"), F.lit(".example.org/d/"),
+                F.col("doc_id").cast("string"),
+            ).alias("url"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(None).cast("string"))
+            .otherwise(F.concat(F.lit("known-"), F.col("source")))
+            .alias("domain"),
+        )
+        return Q.backfill_domain(with_urls, "url", "domain").select("doc_id", "domain")
+
+    q["backfill_domain"] = q_backfill_domain
+
+    def q_category_contains_join(spark, sf):
+        """P8 guarded partial name match: join on substring containment."""
+        part = _t(spark, sf, "part")
+        cats = spark.createDataFrame(
+            [("BRASS",), ("COPPER",), ("STEEL",)], "cat string"
+        )
+        return (
+            part.join(F.broadcast(cats), F.upper(part.p_type).contains(F.col("cat")))
+            .groupBy("cat")
+            .agg(F.count("*").alias("n"))
+            .orderBy("cat")
+        )
+
+    q["category_contains_join"] = q_category_contains_join
+
+    def q_per_source_limit(spark, sf):
+        """O3 per-source truncation: top-3 docs per source by n_chars."""
+        docs = _t(spark, sf, "documents")
+        w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        return (
+            docs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("source", "doc_id", "rn")
+        )
+
+    q["per_source_limit"] = q_per_source_limit
+
+    def q_token_sum_by_lang(spark, sf):
+        """A4 sum of group sizes: total tokens per language."""
+        docs = _t(spark, sf, "documents")
+        return (
+            docs.select("lang", TS.token_count_ws(F.col("text")).alias("_n"))
+            .groupBy("lang")
+            .agg(F.sum("_n").alias("total_tokens"))
+            .orderBy("lang")
+        )
+
+    q["token_sum_by_lang"] = q_token_sum_by_lang
 
     # ---------------- dedup suite
     def q_dedup_exact(spark, sf):
@@ -540,7 +605,7 @@ def oracle_sql() -> dict[str, str]:
     """
     o["conditional_aggs"] = """
         SELECT count(*) AS total,
-               count(CASE WHEN o_orderdate >= TIMESTAMP '2024-06-01' THEN 1 END) AS recent,
+               count(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01' THEN 1 END) AS recent,
                count(CASE WHEN o_totalprice > 1000.0 THEN 1 END) AS high_value
         FROM orders
     """
@@ -630,6 +695,38 @@ def oracle_sql() -> dict[str, str]:
     o["json_extract"] = """
         SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
         FROM events
+    """
+    o["cleanup_delete"] = """
+        SELECT o_orderkey, o_orderdate FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+    """
+    o["backfill_domain"] = """
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0
+                    THEN regexp_replace(lower('www.' || source || '.example.org'),
+                                        '^www\\.', '')
+                    ELSE 'known-' || source END AS domain
+        FROM documents
+    """
+    o["category_contains_join"] = """
+        SELECT c.cat, count(*) AS n
+        FROM part p
+        JOIN (SELECT unnest(['BRASS','COPPER','STEEL']) AS cat) c
+          ON contains(upper(p.p_type), c.cat)
+        GROUP BY c.cat ORDER BY c.cat
+    """
+    o["per_source_limit"] = """
+        SELECT source, doc_id, rn FROM (
+          SELECT source, doc_id,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY n_chars DESC, doc_id ASC) AS rn
+          FROM documents) WHERE rn <= 3
+    """
+    o["token_sum_by_lang"] = """
+        SELECT lang,
+               sum(len(list_filter(string_split_regex(text, '\\s+'),
+                                   t -> length(t) > 0))) AS total_tokens
+        FROM documents GROUP BY lang ORDER BY lang
     """
     o["dedup_exact"] = f"""
         SELECT doc_id FROM documents

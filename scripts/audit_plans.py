@@ -79,7 +79,8 @@ def main() -> int:
         (F.col("value") * 2 + 1).alias("b"),
     ).filter(F.col("b") > 10)
     p4 = plan_of(q4)
-    ok4 = "WholeStageCodegen" in p4
+    # Spark 4 formatted plans mark codegen stages with a '*' node prefix
+    ok4 = "WholeStageCodegen" in p4 or "\n* " in p4 or "+- * " in p4
     report.append(f"## codegen span: {'OK' if ok4 else 'FAIL'}\n```\n{p4}\n```\n")
     if not ok4:
         failures.append("codegen")

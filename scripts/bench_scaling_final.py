@@ -1,0 +1,59 @@
+"""Final scaling measurement: alternating reps at N and 4N cores.
+
+Machine-level throughput drift was observed between runs (same config
+varying ±20%), so the levels are interleaved (N, 4N, N, 4N) and averaged.
+Writes scaling_result.json; BENCH.md summarizes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench_scaling_workload import CORES, WORKLOAD, run_level  # noqa: E402
+
+
+def main() -> None:
+    if len(sys.argv) > 2 and sys.argv[1] == "--run":
+        print(json.dumps(run_level(int(sys.argv[2]))))
+        return
+    env = dict(os.environ)
+    env["SPARK_GRAFT_IMG_SIZES"] = WORKLOAD["img_sizes"]
+    env["SPARK_GRAFT_ARROW_BATCH"] = WORKLOAD["arrow_batch"]
+    env["SPARK_DRIVER_MEMORY"] = "64g"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    reps: dict[int, list[dict]] = {c: [] for c in CORES}
+    for _rep in range(2):
+        for cores in CORES:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--run", str(cores)],
+                env=env, capture_output=True, text=True, timeout=3600,
+            )
+            line = out.stdout.strip().splitlines()[-1]
+            r = json.loads(line)
+            reps[cores].append(r)
+            print(r, flush=True)
+    n, n4 = CORES
+    tput = {c: statistics.mean(x["urls_per_sec"] for x in reps[c]) for c in CORES}
+    eff = tput[n4] / (4 * tput[n])
+    summary = {
+        "workload": WORKLOAD,
+        "reps": reps,
+        "mean_urls_per_sec": {str(c): round(tput[c], 1) for c in CORES},
+        "scaling_efficiency_N_to_4N": round(eff, 3),
+        "cores_N_4N": list(CORES),
+    }
+    print(json.dumps(summary), flush=True)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "scaling_result.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

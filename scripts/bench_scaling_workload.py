@@ -1,0 +1,68 @@
+"""Shared workload definition + single-level runner for the scaling benches."""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CORES = (4, 16)
+# Payload-heavy shape: real crawl payloads are camera-scale images whose
+# decode+validate costs tens of ms, so the measured drain is decode-
+# dominated like a production image crawl. One large epoch = the realistic
+# cluster regime (millions of URLs per drain cycle).
+WORKLOAD = {
+    "n_seed_urls": 300_000,
+    "n_payload": 3_000,
+    "n_hosts": 15_000,
+    "batch_size": 120_000,
+    "epochs": 1,
+    "img_sizes": "256",
+    "arrow_batch": "128",
+}
+
+
+def run_level(cores: int) -> dict:
+    import shutil
+    import tempfile
+
+    from newscrawler_spark import datagen
+    from newscrawler_spark.engine.crawl import CrawlConfig, CrawlEngine
+    from newscrawler_spark.session import get_spark
+
+    spark = get_spark(app_name=f"scaling-{cores}", cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    cfg = CrawlConfig(
+        seed=42,
+        n_hosts=WORKLOAD["n_hosts"],
+        n_payload=WORKLOAD["n_payload"],
+        n_seed_urls=WORKLOAD["n_seed_urls"],
+        batch_size=WORKLOAD["batch_size"],
+        bucket_count=128,
+        salt_buckets=8,
+    )
+    root = tempfile.mkdtemp(prefix=f"scale-{cores}-")
+    try:
+        eng = CrawlEngine(spark, root, cfg)
+        seeds = datagen.gen_seeds_spark(spark, cfg.n_seed_urls, cfg.seed, cfg.n_hosts)
+        eng.payload_df().count()  # payload table build is outside the timer
+        tb = time.time()
+        eng.bootstrap(seeds)
+        boot = time.time() - tb
+        t0 = time.time()
+        fetched = 0
+        for e in range(WORKLOAD["epochs"]):
+            fetched += eng.run_epoch(e)["fetched"]
+        wall = time.time() - t0
+        return {
+            "cores": cores,
+            "bootstrap_sec": round(boot, 2),
+            "wall_sec": round(wall, 2),
+            "urls": fetched,
+            "urls_per_sec": round(fetched / wall, 2),
+        }
+    finally:
+        spark.stop()
+        shutil.rmtree(root, ignore_errors=True)
