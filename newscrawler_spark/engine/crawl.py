@@ -48,6 +48,7 @@ from pyspark.sql import functions as F
 from .. import codecs, datagen
 from ..tablelib import Catalog
 from ..urlnorm import with_url_identity
+from .seenfilter import BLOOM_DDL, SeenBloom
 
 FRONTIER_DDL = (
     "url string, canonical_url string, host string, url_hash long, host_hash long, "
@@ -103,6 +104,7 @@ class CrawlConfig:
     max_retries: int = 3
     expand: bool = True          # full-coverage link expansion on/off
     min_caption_len: int = 1000  # crawl admission filter (main.py:183-184)
+    use_bloom: bool = True       # bloom prefilter in front of the seen anti-join
 
 
 class CrawlEngine:
@@ -118,6 +120,9 @@ class CrawlEngine:
         self.host_state = self.catalog.table("host_state", HOST_STATE_DDL, partitioned=False)
         self.fetch_log = self.catalog.table("fetch_log", FETCH_LOG_DDL, partitioned=False)
         self.crawl_order = self.catalog.table("crawl_order", ORDER_DDL, partitioned=False)
+        self.seen_bloom = SeenBloom(
+            self.catalog.table("seen_bloom", BLOOM_DDL, partitioned=False)
+        )
         self._payload: DataFrame | None = None
         self._frontier_est: int | None = None  # driver-side size estimate
 
@@ -163,11 +168,19 @@ class CrawlEngine:
         )
         fid = self.frontier.overwrite(s, {"rows": "bootstrap"})
         sid = self.seen.overwrite(s.select("url_hash", "bucket"))
+        bloom_id = (
+            self.seen_bloom.rebuild_buckets(
+                self.spark, self.seen, list(range(cfg.bucket_count))
+            )
+            if cfg.use_bloom
+            else self.seen_bloom.table.current_snapshot_id()
+        )
         self.catalog.checkpoint(
             -1,
             {
                 "frontier": fid,
                 "seen": sid,
+                "seen_bloom": bloom_id,
                 "store": self.store.current_snapshot_id(),
                 "host_state": self.host_state.current_snapshot_id(),
                 "fetch_log": self.fetch_log.current_snapshot_id(),
@@ -438,8 +451,13 @@ class CrawlEngine:
             disc = disc.withColumn("_rn", F.row_number().over(wd)).filter(
                 F.col("_rn") == 1
             ).drop("_rn")
-            seen_df = self.seen.read(spark).select("url_hash")
-            new_urls = disc.join(seen_df, on="url_hash", how="left_anti")
+            if cfg.use_bloom:
+                # partitioned bloom prefilter; exact anti-join remains the
+                # authority for the maybe-seen slice (no dropped URLs)
+                new_urls = self.seen_bloom.split_new(spark, disc, self.seen)
+            else:
+                seen_df = self.seen.read(spark).select("url_hash")
+                new_urls = disc.join(seen_df, on="url_hash", how="left_anti")
             discovered = (
                 new_urls.withColumn(
                     "priority",
@@ -475,6 +493,11 @@ class CrawlEngine:
             self.seen.append(discovered.select("url_hash", "bucket"))
             if n_discovered
             else self.seen.current_snapshot_id()
+        )
+        bloom_id = (
+            self.seen_bloom.rebuild_buckets(spark, self.seen, disc_buckets)
+            if (cfg.use_bloom and n_discovered)
+            else self.seen_bloom.table.current_snapshot_id()
         )
 
         mark("seen_append")
@@ -522,6 +545,7 @@ class CrawlEngine:
             {
                 "frontier": frontier_id,
                 "seen": seen_id,
+                "seen_bloom": bloom_id,
                 "store": store_id,
                 "host_state": host_id,
                 "fetch_log": log_id,

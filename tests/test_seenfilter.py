@@ -1,0 +1,91 @@
+"""Bloom seen-prefilter: soundness (never drops a truly-new URL) and
+equivalence with the plain exact anti-join."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from newscrawler_spark.engine.seenfilter import BLOOM_DDL, SeenBloom, bloom_probe
+from newscrawler_spark.tablelib import Catalog
+
+SEEN_DDL = "url_hash long, bucket int"
+
+
+@pytest.fixture()
+def cat(tmp_path):
+    return Catalog(str(tmp_path / "cat"))
+
+
+def _mk(spark, cat, m_bits=1 << 14):
+    seen = cat.table("seen", SEEN_DDL)
+    seen.append(
+        spark.range(0, 5000).select(
+            F.xxhash64("id").alias("url_hash"),
+            F.pmod(F.xxhash64("id"), F.lit(8)).cast("int").alias("bucket"),
+        )
+    )
+    bloom = SeenBloom(
+        cat.table("seen_bloom", BLOOM_DDL, partitioned=False), m_bits=m_bits
+    )
+    bloom.rebuild_buckets(spark, seen, list(range(8)))
+    return seen, bloom
+
+
+def test_split_new_equals_exact_anti_join(spark, cat):
+    seen, bloom = _mk(spark, cat)
+    # candidates: half overlap seen (ids 0..99), half new (ids 10000..)
+    cand = spark.range(0, 100).union(spark.range(10_000, 10_100)).select(
+        F.xxhash64("id").alias("url_hash"),
+        F.pmod(F.xxhash64("id"), F.lit(8)).cast("int").alias("bucket"),
+    )
+    via_bloom = {r["url_hash"] for r in bloom.split_new(spark, cand, seen).collect()}
+    exact = {
+        r["url_hash"]
+        for r in cand.join(
+            seen.read(spark).select("url_hash"), on="url_hash", how="left_anti"
+        ).collect()
+    }
+    assert via_bloom == exact
+    assert len(exact) == 100  # exactly the new half survives
+
+
+def test_bloom_has_no_false_negatives(spark, cat):
+    seen, bloom = _mk(spark, cat)
+    blooms = bloom.table.read(spark).select("bucket", "words")
+    probed = (
+        seen.read(spark)
+        .join(blooms, on="bucket")
+        .filter(~bloom_probe(F.col("words"), F.col("url_hash"), bloom.m))
+    )
+    assert probed.count() == 0  # every seen hash is flagged maybe-seen
+
+
+def test_bloom_filters_most_new_keys(spark, cat):
+    """FP rate sanity: most definitely-new keys skip the exact join."""
+    seen, bloom = _mk(spark, cat)
+    fresh = spark.range(50_000, 60_000).select(
+        F.xxhash64("id").alias("url_hash"),
+        F.pmod(F.xxhash64("id"), F.lit(8)).cast("int").alias("bucket"),
+    )
+    blooms = bloom.table.read(spark).select("bucket", "words")
+    hits = (
+        fresh.join(F.broadcast(blooms), on="bucket")
+        .filter(bloom_probe(F.col("words"), F.col("url_hash"), bloom.m))
+        .count()
+    )
+    assert hits / 10_000 < 0.25  # m=2^14, ~625 keys/bucket -> low fpp
+
+
+def test_empty_bloom_falls_back_to_exact(spark, cat):
+    seen = cat.table("seen", SEEN_DDL)
+    seen.append(
+        spark.range(0, 10).select(
+            F.xxhash64("id").alias("url_hash"),
+            F.lit(0).cast("int").alias("bucket"),
+        )
+    )
+    bloom = SeenBloom(cat.table("seen_bloom", BLOOM_DDL, partitioned=False))
+    cand = spark.range(5, 15).select(
+        F.xxhash64("id").alias("url_hash"), F.lit(0).cast("int").alias("bucket")
+    )
+    out = bloom.split_new(spark, cand, seen)
+    assert out.count() == 5
