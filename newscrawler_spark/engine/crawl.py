@@ -105,6 +105,7 @@ class CrawlConfig:
     expand: bool = True          # full-coverage link expansion on/off
     min_caption_len: int = 1000  # crawl admission filter (main.py:183-184)
     use_bloom: bool = True       # bloom prefilter in front of the seen anti-join
+    bloom_rebuild_fraction: int = 4  # rebuild when >= bucket_count/N dirty
 
 
 class CrawlEngine:
@@ -125,6 +126,9 @@ class CrawlEngine:
         )
         self._payload: DataFrame | None = None
         self._frontier_est: int | None = None  # driver-side size estimate
+        # buckets whose seen-set grew since their bloom was last rebuilt;
+        # probed via the exact join until the next amortized rebuild
+        self._bloom_dirty: set[int] = set()
 
     # ------------------------------------------------------------ payload
 
@@ -453,8 +457,10 @@ class CrawlEngine:
             ).drop("_rn")
             if cfg.use_bloom:
                 # partitioned bloom prefilter; exact anti-join remains the
-                # authority for the maybe-seen slice (no dropped URLs)
-                new_urls = self.seen_bloom.split_new(spark, disc, self.seen)
+                # authority for the maybe-seen slice AND for stale buckets
+                new_urls = self.seen_bloom.split_new(
+                    spark, disc, self.seen, stale_buckets=self._bloom_dirty
+                )
             else:
                 seen_df = self.seen.read(spark).select("url_hash")
                 new_urls = disc.join(seen_df, on="url_hash", how="left_anti")
@@ -494,11 +500,20 @@ class CrawlEngine:
             if n_discovered
             else self.seen.current_snapshot_id()
         )
-        bloom_id = (
-            self.seen_bloom.rebuild_buckets(spark, self.seen, disc_buckets)
-            if (cfg.use_bloom and n_discovered)
-            else self.seen_bloom.table.current_snapshot_id()
-        )
+        # amortized bloom maintenance: mark buckets dirty now, rebuild only
+        # when enough have accumulated (dirty buckets use the exact join in
+        # the meantime, so exactness never depends on bloom freshness)
+        if cfg.use_bloom and n_discovered:
+            self._bloom_dirty |= set(disc_buckets)
+        if cfg.use_bloom and len(self._bloom_dirty) >= max(
+            1, cfg.bucket_count // cfg.bloom_rebuild_fraction
+        ):
+            bloom_id = self.seen_bloom.rebuild_buckets(
+                spark, self.seen, sorted(self._bloom_dirty)
+            )
+            self._bloom_dirty = set()
+        else:
+            bloom_id = self.seen_bloom.table.current_snapshot_id()
 
         mark("seen_append")
         host_delta = (
@@ -551,6 +566,7 @@ class CrawlEngine:
                 "fetch_log": log_id,
                 "crawl_order": order_id,
             },
+            extra={"bloom_dirty": sorted(self._bloom_dirty)},
         )
         # bound read amplification on the append-only seen table
         if self.seen.max_dirs_per_bucket() > 6:
@@ -589,7 +605,10 @@ class CrawlEngine:
 
     def resume_epoch(self) -> int:
         """Next epoch to run, after rolling tables back to the checkpoint."""
-        return self.catalog.restore_latest() + 1
+        epoch = self.catalog.restore_latest()
+        ck = self.catalog.last_checkpoint() or {}
+        self._bloom_dirty = set(ck.get("bloom_dirty", []))
+        return epoch + 1
 
     def drain(self, max_epochs: int = 100) -> list[dict]:
         start = self.resume_epoch()

@@ -115,18 +115,28 @@ class SeenBloom:
         return self.table.merge_upsert(spark, dense, "bucket", set_pointer=True)
 
     def split_new(
-        self, spark: SparkSession, disc: DataFrame, seen: SnapshotTable
+        self,
+        spark: SparkSession,
+        disc: DataFrame,
+        seen: SnapshotTable,
+        stale_buckets: set[int] | None = None,
     ) -> DataFrame:
         """Return the definitely-new rows of ``disc`` (exactness preserved).
 
         disc must carry (url_hash, bucket). Rows in buckets with no bloom
-        yet go straight to the exact join (sound default).
+        yet — or whose bloom is stale (``stale_buckets``, i.e. seen grew
+        since the last rebuild) — go straight to the exact join: a stale
+        bloom could miss a recently-seen hash, so it must not be allowed
+        to declare "definitely new". This is what lets rebuilds be
+        amortized across epochs without giving up exactness.
         """
         if self.table.is_empty():
             return disc.join(
                 seen.read(spark).select("url_hash"), on="url_hash", how="left_anti"
             )
         blooms = self.table.read(spark).select("bucket", "words")
+        if stale_buckets:
+            blooms = blooms.filter(~F.col("bucket").isin(list(stale_buckets)))
         probed = disc.join(F.broadcast(blooms), on="bucket", how="left")
         hit = bloom_probe(F.col("words"), F.col("url_hash"), self.m)
         definitely_new = probed.filter(F.col("words").isNotNull() & ~hit).drop("words")

@@ -428,10 +428,13 @@ class Catalog:
     def _ckpt_path(self) -> str:
         return os.path.join(self.root, "CHECKPOINT")
 
-    def checkpoint(self, epoch: int, snapshot_ids: dict[str, int]) -> None:
-        _atomic_write(
-            self._ckpt_path(), json.dumps({"epoch": epoch, "snapshots": snapshot_ids})
-        )
+    def checkpoint(
+        self, epoch: int, snapshot_ids: dict[str, int], extra: dict | None = None
+    ) -> None:
+        payload = {"epoch": epoch, "snapshots": snapshot_ids}
+        if extra:
+            payload.update(extra)
+        _atomic_write(self._ckpt_path(), json.dumps(payload))
 
     def last_checkpoint(self) -> dict | None:
         if not os.path.exists(self._ckpt_path()):
