@@ -103,6 +103,19 @@ def main() -> int:
     if not ok5:
         failures.append("crawl-rank")
 
+    # 6. input_hint invariant: the fetch path has exactly ONE Python eval —
+    # the Arrow-batched decode UDF. Everything else is JVM expressions.
+    p6 = plan_of(eng.fetch_batch(eng.select_batch(0)))
+    n_arrow = p6.count("ArrowEvalPython")
+    n_rowpy = p6.count("BatchEvalPython")  # row-at-a-time Python = forbidden
+    ok6 = n_arrow == 1 and n_rowpy == 0
+    report.append(
+        f"## fetch path: 1 Arrow UDF, 0 row-Python: {'OK' if ok6 else 'FAIL'} "
+        f"(ArrowEvalPython={n_arrow}, BatchEvalPython={n_rowpy})\n```\n{p6}\n```\n"
+    )
+    if not ok6:
+        failures.append("fetch-python")
+
     with open("PLANS.md", "w") as f:
         f.write("\n".join(report))
     print("audit:", "ALL OK" if not failures else f"FAILURES: {failures}")
