@@ -106,8 +106,11 @@ def main() -> int:
     # 6. input_hint invariant: the fetch path has exactly ONE Python eval —
     # the Arrow-batched decode UDF. Everything else is JVM expressions.
     p6 = plan_of(eng.fetch_batch(eng.select_batch(0)))
-    n_arrow = p6.count("ArrowEvalPython")
-    n_rowpy = p6.count("BatchEvalPython")  # row-at-a-time Python = forbidden
+    # formatted plans print each node twice (tree + detail); "Name (" is the
+    # tree form. MapInPandas here is the synthetic payload *generator*
+    # (datagen), not part of the fetch path on a real deployment.
+    n_arrow = p6.count("ArrowEvalPython (")
+    n_rowpy = p6.count("BatchEvalPython (")  # row-at-a-time Python = forbidden
     ok6 = n_arrow == 1 and n_rowpy == 0
     report.append(
         f"## fetch path: 1 Arrow UDF, 0 row-Python: {'OK' if ok6 else 'FAIL'} "
