@@ -145,10 +145,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (
             li.groupBy("l_returnflag", "l_linestatus")
             .agg(
-                F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
-                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias(
-                    "sum_price"
-                ),
+                # pin the result type: Spark widens sum(decimal(18,2)) to
+                # (28,2) but DuckDB to (38,2) — cast both engines to (38,2)
+                # so the driver's value hash is bit-identical
+                F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                .cast("decimal(38,2)").alias("sum_qty"),
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                .cast("decimal(38,2)").alias("sum_price"),
                 F.count("*").alias("count_order"),
             )
             .orderBy("l_returnflag", "l_linestatus")
@@ -206,7 +209,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
             .groupBy("p_brand")
             .agg(
-                F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+                F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                .cast("decimal(38,2)").alias("sum_qty"),
                 F.count("*").alias("n"),
             )
             .orderBy("p_brand")
@@ -356,8 +360,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_category_contains_join(spark, sf):
         """P8 guarded partial name match: join on substring containment."""
         part = _t(spark, sf, "part")
+        # literals drawn from the testdata p_type domain
+        # {STANDARD, LARGE, MEDIUM, SMALL, PROMO, ECONOMY} so the gate is
+        # exercised on nonzero matches
         cats = spark.createDataFrame(
-            [("BRASS",), ("COPPER",), ("STEEL",)], "cat string"
+            [("STANDARD",), ("PROMO",), ("SMALL",)], "cat string"
         )
         return (
             part.join(F.broadcast(cats), F.upper(part.p_type).contains(F.col("cat")))
@@ -615,8 +622,8 @@ def oracle_sql() -> dict[str, str]:
     """
     o["group_agg_decimal"] = """
         SELECT l_returnflag, l_linestatus,
-               sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-               sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price,
                count(*) AS count_order
         FROM lineitem GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus
@@ -637,7 +644,8 @@ def oracle_sql() -> dict[str, str]:
         WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)
     """
     o["broadcast_dim_join"] = """
-        SELECT p_brand, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        SELECT p_brand,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
                count(*) AS n
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY p_brand ORDER BY p_brand
@@ -711,7 +719,7 @@ def oracle_sql() -> dict[str, str]:
     o["category_contains_join"] = """
         SELECT c.cat, count(*) AS n
         FROM part p
-        JOIN (SELECT unnest(['BRASS','COPPER','STEEL']) AS cat) c
+        JOIN (SELECT unnest(['STANDARD','PROMO','SMALL']) AS cat) c
           ON contains(upper(p.p_type), c.cat)
         GROUP BY c.cat ORDER BY c.cat
     """
@@ -724,8 +732,8 @@ def oracle_sql() -> dict[str, str]:
     """
     o["token_sum_by_lang"] = """
         SELECT lang,
-               sum(len(list_filter(string_split_regex(text, '\\s+'),
-                                   t -> length(t) > 0))) AS total_tokens
+               CAST(sum(len(list_filter(string_split_regex(text, '\\s+'),
+                                        t -> length(t) > 0))) AS BIGINT) AS total_tokens
         FROM documents GROUP BY lang ORDER BY lang
     """
     o["dedup_exact"] = f"""

@@ -35,7 +35,7 @@ def norm_rows(cols, rows):
 
 def main():
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = sys.argv[2] if len(sys.argv) > 2 else None
+    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
     spark = get_spark(cores=16)
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
@@ -46,7 +46,7 @@ def main():
     oracles = E.oracle_sql()
     n_pass = n_fail = n_rows_only = 0
     for name, fn in qs.items():
-        if only and name != only:
+        if only and name not in only:
             continue
         t0 = time.time()
         try:
