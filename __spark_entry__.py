@@ -509,6 +509,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["crawl_drain"] = q_crawl_drain
 
     def q_canonicalize_identity(spark, sf):
+        """URL canonicalization over dirty synthetic URLs. The string-side
+        outputs (canonical_url, host) are oracle-checked; the xxhash64-based
+        url_hash/bucket columns are gated by the python-twin property tests
+        (tests/test_urlnorm_hash.py) since DuckDB has no xxhash64."""
         from newscrawler_spark.urlnorm import with_url_identity
 
         docs = _t(spark, sf, "documents")
@@ -521,27 +525,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("url"),
         )
         return with_url_identity(urls, "url", 64).select(
-            "doc_id", "canonical_url", "host", "url_hash", "bucket"
+            "doc_id", "canonical_url", "host"
         )
 
     q["canonicalize_identity"] = q_canonicalize_identity
 
     def q_minhash_lsh_dedup(spark, sf):
+        """Oracle-checked LSH dedup: md5 hash family so DuckDB reproduces the
+        banded candidate set and the exact-Jaccard verdicts bit-identically."""
         docs = _t(spark, sf, "documents")
-        return D.minhash_dedup(docs, "doc_id", "text", threshold=0.8).select("doc_id")
+        return D.minhash_md5_dedup(docs, "doc_id", "text", threshold=0.8).select(
+            "doc_id"
+        )
 
     q["minhash_lsh_dedup"] = q_minhash_lsh_dedup
 
     def q_simhash_pairs(spark, sf):
+        """Chunk-blocked SimHash pairs, oracle-checked against a brute-force
+        DuckDB twin: md5-based 60-bit simhash both engines can compute;
+        max_hamming=7 < n_chunks=8 keeps the pigeonhole recall guarantee, so
+        the blocked join must equal the O(n^2) oracle exactly."""
         docs = _t(spark, sf, "documents")
-        sh = D.simhash(docs, "doc_id", "text")
-        return D.simhash_near_pairs(sh, "doc_id", max_hamming=8)
+        sh = D.simhash60(docs, "doc_id", "text")
+        return D.simhash_near_pairs(sh, "doc_id", max_hamming=7, n_chunks=8)
 
     q["simhash_pairs"] = q_simhash_pairs
 
     def q_winnow_fingerprints(spark, sf):
-        docs = _t(spark, sf, "documents").limit(200)
-        return TS.winnow_fingerprints(docs, "doc_id", "text").select(
+        docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+        return TS.winnow_fingerprints(docs, "doc_id", "text", algo="md5").select(
             "doc_id", F.size("fps").alias("n_fps")
         )
 
@@ -555,10 +567,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_lsh"] = q_ann_lsh
 
     def q_embedding_near_pairs(spark, sf):
+        """Exact cosine near-pairs (the verify/baseline stage), oracle-checked
+        vs DuckDB list_cosine_similarity. threshold=0.4 sits in a >=1.3e-4
+        empirical gap of the pair-cosine distribution at sf0.01 — far above
+        float32-vs-double noise (~4e-6), so membership is engine-stable.
+        The LSH-blocked scale path (embedding_near_dup_pairs) is pytest-gated
+        as a subset of this exact result."""
         emb = _t(spark, sf, "embeddings")
-        return SIM.embedding_near_dup_pairs(emb, "embedding", threshold=0.35, bits=4)
+        return SIM.cosine_near_pairs_exact(emb, "embedding", threshold=0.4)
 
     q["embedding_near_pairs"] = q_embedding_near_pairs
+
+    def q_search_count(spark, sf):
+        """Reference /search pagination-metadata count (main.py:323-327)."""
+        docs = _t(spark, sf, "documents")
+        return Q.search_count(docs, ["spark", "data"], ["text"], 300, "text")
+
+    q["search_count"] = q_search_count
+
+    def q_transcript_upsert(spark, sf):
+        """S9/S11 twin: second keyed payload table — last-writer-wins upsert
+        of two batches + filtered pagination (reference transcripts table,
+        main.py:377-452,455-506). The durable-table path through tablelib is
+        exercised in tests/test_tablelib.py; this gates the MERGE semantics."""
+        ev = _t(spark, sf, "events")
+        b1 = ev.filter(F.col("event_id") % 2 == 0).select(
+            "event_id", F.col("value").alias("v"), F.lit(1).alias("version")
+        )
+        b2 = ev.filter(F.col("event_id") % 3 == 0).select(
+            "event_id", F.col("value").alias("v"), F.lit(2).alias("version")
+        )
+        merged = b1.join(b2.select("event_id"), on="event_id", how="left_anti").unionByName(b2)
+        return (
+            merged.orderBy(F.desc("v"), F.asc("event_id"))
+            .offset(10)
+            .limit(20)
+        )
+
+    q["transcript_upsert"] = q_transcript_upsert
 
     def q_decode_features(spark, sf):
         from newscrawler_spark import datagen
@@ -791,6 +837,101 @@ def oracle_sql() -> dict[str, str]:
             len(regexp_extract_all(text, '(?i)\\b(le|la|les|et|est|une|que|pour)\\b')) AS s_fr,
             len(regexp_extract_all(text, '(?i)\\b(el|la|los|y|es|una|que|por)\\b')) AS s_es
           FROM documents)
+    """
+    o["canonicalize_identity"] = """
+        SELECT doc_id,
+               'https://' || lower(source) || '.example.com/a/' || doc_id
+                 || '?a=1&b=2' AS canonical_url,
+               lower(source) || '.example.com' AS host
+        FROM documents
+    """
+    o["simhash_pairs"] = f"""
+        WITH th AS (
+          SELECT doc_id,
+                 CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT) AS h
+          FROM (SELECT doc_id, unnest(list_distinct(string_split({_NORM}, ' '))) AS t
+                FROM documents)),
+        bits AS (
+          SELECT doc_id, b,
+                 sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+          FROM th, (SELECT unnest(range(60)) AS b)
+          GROUP BY doc_id, b),
+        sh AS (
+          SELECT doc_id,
+                 sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+          FROM bits GROUP BY doc_id)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 7
+    """
+    o["minhash_lsh_dedup"] = f"""
+        WITH toks AS (
+          SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents),
+        shg AS (
+          SELECT doc_id,
+                 list_distinct([array_to_string(t[i:i+2], ' ')
+                                FOR i IN range(1, greatest(len(t)-3, 0)+2)]) AS shingles
+          FROM toks),
+        ex AS (SELECT doc_id, unnest(shingles) AS s FROM shg),
+        sig AS (
+          SELECT doc_id,
+            min(md5('0:' || s)) AS h0, min(md5('1:' || s)) AS h1,
+            min(md5('2:' || s)) AS h2, min(md5('3:' || s)) AS h3,
+            min(md5('4:' || s)) AS h4, min(md5('5:' || s)) AS h5,
+            min(md5('6:' || s)) AS h6, min(md5('7:' || s)) AS h7
+          FROM ex GROUP BY doc_id),
+        bandtab AS (
+          SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS bkey FROM sig
+          UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM sig
+          UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM sig
+          UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM sig),
+        cand AS (
+          SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+          FROM bandtab l JOIN bandtab r
+            ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
+        ver AS (
+          SELECT c.id_a, c.id_b
+          FROM cand c
+          JOIN shg a ON a.doc_id = c.id_a
+          JOIN shg b ON b.doc_id = c.id_b
+          WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8)
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT id_b FROM ver)
+    """
+    o["winnow_fingerprints"] = """
+        WITH g AS (
+          SELECT doc_id,
+                 [md5(substring(text, i, 8))
+                  FOR i IN range(1, greatest(length(text)-8+1, 1)+1)] AS grams
+          FROM documents WHERE doc_id < 200)
+        SELECT doc_id,
+               len(list_distinct([list_aggregate(grams[i:i+3], 'min')
+                                  FOR i IN range(1, greatest(len(grams)-4+1, 1)+1)])) AS n_fps
+        FROM g
+    """
+    o["embedding_near_pairs"] = """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+    """
+    o["search_count"] = """
+        SELECT count(*) AS total FROM documents
+        WHERE regexp_matches(text, '(?i)\\bspark\\b')
+          AND regexp_matches(text, '(?i)\\bdata\\b')
+          AND length(text) >= 300
+    """
+    o["transcript_upsert"] = """
+        WITH b1 AS (
+          SELECT event_id, value AS v, 1 AS version FROM events WHERE event_id % 2 = 0),
+        b2 AS (
+          SELECT event_id, value AS v, 2 AS version FROM events WHERE event_id % 3 = 0),
+        m AS (
+          SELECT * FROM b1 WHERE event_id NOT IN (SELECT event_id FROM b2)
+          UNION ALL SELECT * FROM b2)
+        SELECT event_id, v, version FROM m
+        ORDER BY v DESC, event_id ASC LIMIT 20 OFFSET 10
     """
     o["cosine_topk"] = """
         WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

@@ -188,6 +188,89 @@ def minhash_dedup(
     return df.join(victims, on=id_col, how="left_anti")
 
 
+def simhash60(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """60-bit SimHash with an md5-based token hash family.
+
+    Same construction as :func:`simhash` but the per-token hash is the top
+    60 bits of md5 (15 hex chars -> bigint), which DuckDB can reproduce
+    exactly (`CAST('0x'||substring(md5(t),1,15) AS BIGINT)`) — this is the
+    oracle-checkable variant used by the driver gate; the xxhash64 one stays
+    the faster production path.
+    """
+    ex = df.select(
+        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("_t")
+    ).withColumn(
+        "_h", F.conv(F.substring(F.md5("_t"), 1, 15), 16, 10).cast("long")
+    )
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_b{b}")
+        for b in range(60)
+    ]
+    g = ex.groupBy(id_col).agg(*aggs)
+    expr = None
+    for b in range(60):
+        term = F.when(F.col(f"_b{b}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ) * F.lit(1 << b).cast("long")
+        expr = term if expr is None else expr + term
+    return g.select(id_col, expr.alias("simhash"))
+
+
+def minhash_md5_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Near-dup dedup with an md5 hash family — the oracle-checkable twin of
+    :func:`minhash_dedup` (same shape: signature -> banded LSH -> exact
+    Jaccard verify -> lowest-id survivor; every hash is md5 so DuckDB can
+    reproduce the candidate set and the verdicts bit-identically).
+    """
+    rows = num_hashes // bands
+    ex = df.select(
+        F.col(id_col), F.explode(shingles_col(F.col(text_col), shingle_k)).alias("_s")
+    )
+    sig = ex.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("_s")))).alias(f"_h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    # band key = md5 over the band's concatenated row hashes
+    bands_df = None
+    for j in range(bands):
+        part = sig.select(
+            F.col(id_col),
+            F.lit(j).alias("band"),
+            F.md5(
+                F.concat_ws("|", *[F.col(f"_h{j * rows + r}") for r in range(rows)])
+            ).alias("bkey"),
+        )
+        bands_df = part if bands_df is None else bands_df.unionByName(part)
+    l, r = bands_df.alias("l"), bands_df.alias("r")
+    cand = (
+        l.join(
+            r,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.bkey") == F.col("r.bkey"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    dup = jaccard_pairs(df, id_col, text_col, cand, threshold, shingle_k)
+    victims = dup.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(victims, on=id_col, how="left_anti")
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash per document, one explode + one groupBy.
 
@@ -214,21 +297,34 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return g.select(id_col, expr.alias("simhash"))
 
 
-def simhash_near_pairs(sim_df: DataFrame, id_col: str, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance, blocked on 16-bit chunks.
+def simhash_near_pairs(
+    sim_df: DataFrame, id_col: str, max_hamming: int = 3, n_chunks: int = 8
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, blocked on bit chunks.
 
-    Pigeonhole: two 64-bit hashes within hamming distance 3 share at least
-    one identical 16-bit chunk — join per chunk, then verify the exact
-    distance with bit_count (built-in), never a full cross join.
+    Pigeonhole: two 64-bit hashes within hamming distance d < n_chunks share
+    at least one identical chunk — join per chunk, then verify the exact
+    distance with bit_count (built-in), never a full cross join. The recall
+    guarantee REQUIRES max_hamming < n_chunks (d flipped bits can spoil at
+    most d chunks), so the bound is asserted rather than silently violated.
     """
+    if n_chunks not in (4, 8, 16, 32):
+        raise ValueError("n_chunks must divide 64 (one of 4, 8, 16, 32)")
+    if max_hamming >= n_chunks:
+        raise ValueError(
+            f"max_hamming={max_hamming} breaks the pigeonhole recall "
+            f"guarantee for n_chunks={n_chunks}; need max_hamming < n_chunks"
+        )
+    chunk_bits = 64 // n_chunks
+    mask = (1 << chunk_bits) - 1
     chunks = sim_df.select(
         F.col(id_col),
         F.col("simhash"),
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned(F.col("simhash"), s).bitwiseAND(F.lit(0xFFFF))
-                    for s in (0, 16, 32, 48)
+                    F.shiftrightunsigned(F.col("simhash"), s).bitwiseAND(F.lit(mask))
+                    for s in range(0, 64, chunk_bits)
                 ]
             )
         ).alias("chunk_id", "chunk"),

@@ -104,6 +104,33 @@ def ann_lsh_topk(
     return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
 
 
+def cosine_near_pairs_exact(
+    df: DataFrame,
+    vec_col: str,
+    threshold: float,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact all-pairs cosine >= threshold — the correctness baseline.
+
+    O(n^2): use only as the oracle/verify stage or on a blocked candidate
+    set; :func:`embedding_near_dup_pairs` is the LSH-blocked scale path.
+    Returns (id_a, id_b) only (scores are FP-ordering-sensitive across
+    engines; membership at a gap-checked threshold is not).
+    """
+    v = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
+    l, r = v.alias("l"), v.alias("r")
+    return (
+        l.join(r, F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            cosine(F.col("l._v"), F.col("r._v")).alias("_c"),
+        )
+        .filter(F.col("_c") >= threshold)
+        .select("id_a", "id_b")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     vec_col: str,

@@ -85,19 +85,27 @@ def quality_features(df: DataFrame, text_col: str) -> DataFrame:
 
 
 def winnow_fingerprints(
-    df: DataFrame, id_col: str, text_col: str, k: int = 8, window: int = 4
+    df: DataFrame, id_col: str, text_col: str, k: int = 8, window: int = 4,
+    algo: str = "xxhash64",
 ) -> DataFrame:
     """Winnowing document fingerprints (rolling character k-gram hashes).
 
     Builds all k-gram hashes with sequence+transform (array built-ins),
     then selects the minimum hash of each sliding window of ``window``
     consecutive k-grams — the classic winnowing scheme — and returns the
-    distinct selected hashes per document as `fps: array<long>`.
+    distinct selected hashes per document as `fps` (array<long> for
+    xxhash64; array<string> for the md5 variant, whose lexicographic mins
+    DuckDB reproduces exactly for the oracle gate).
     """
     t = F.col(text_col)
     n = F.length(t)
     starts = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
-    grams = F.transform(starts, lambda i: F.xxhash64(F.substring(t, i, k)))
+    gram_hash = (
+        (lambda i: F.xxhash64(F.substring(t, i, k)))
+        if algo == "xxhash64"
+        else (lambda i: F.md5(F.substring(t, i, k)))
+    )
+    grams = F.transform(starts, gram_hash)
     win_starts = F.sequence(F.lit(1), F.greatest(F.size(grams) - window + 1, F.lit(1)))
     selected = F.transform(
         win_starts, lambda i: F.array_min(F.slice(grams, i, window))

@@ -194,3 +194,59 @@ def test_regex_cascade_first_match_wins(spark):
         ).alias("t")
     ).first()
     assert out["t"] == "A"
+
+
+def test_simhash_blocked_pairs_recall_complete(spark):
+    """Pigeonhole guarantee: every pair within max_hamming < n_chunks is
+    recovered by the chunk-blocked join (VERDICT r01 recall bug regression)."""
+    rng = np.random.default_rng(7)
+    rows = []
+    expected = set()
+    for i in range(40):
+        base = int(rng.integers(0, 1 << 63))
+        rows.append((2 * i, base))
+        d = int(rng.integers(0, 8))  # hamming distance 0..7
+        flipped = base
+        for b in rng.choice(64, size=d, replace=False):
+            flipped ^= 1 << int(b)
+        rows.append((2 * i + 1, flipped))
+        expected.add((2 * i, 2 * i + 1, d))
+    df = spark.createDataFrame(rows, "id long, simhash long")
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in D.simhash_near_pairs(df, "id", max_hamming=7, n_chunks=8).collect()
+    }
+    assert expected <= got  # every planted pair recovered at its exact distance
+    # and the bound is enforced, not silently violated
+    with pytest.raises(ValueError):
+        D.simhash_near_pairs(df, "id", max_hamming=8, n_chunks=8)
+
+
+def test_lsh_blocked_near_pairs_subset_of_exact(spark):
+    """The LSH-blocked scale path never invents pairs: blocked ⊆ exact, and
+    identical-vector pairs (recall floor) are always found."""
+    rng = np.random.default_rng(11)
+    vecs = [rng.standard_normal(16).astype("float32") for _ in range(30)]
+    vecs.append(vecs[0].copy())  # planted exact duplicate -> cosine 1.0
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in SIM.cosine_near_pairs_exact(df, "embedding", threshold=0.9).collect()
+    }
+    blocked = {
+        (r["id_a"], r["id_b"])
+        for r in SIM.embedding_near_dup_pairs(df, "embedding", threshold=0.9, bits=4).collect()
+    }
+    assert blocked <= exact
+    assert (0, 30) in blocked  # identical vectors share every LSH signature
+
+
+def test_minhash_md5_dedup_matches_xxhash_semantics(spark):
+    """Both hash families agree on exact duplicates (jaccard=1 always passes
+    verification regardless of family)."""
+    rows = [(1, "alpha beta gamma delta epsilon zeta"), (2, "alpha beta gamma delta epsilon zeta"),
+            (3, "totally different words here now")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(r["doc_id"] for r in D.minhash_md5_dedup(df, "doc_id", "text").collect())
+    assert out == [1, 3]

@@ -105,3 +105,32 @@ def test_append_with_filter_pushdown_explains_pruning(spark, cat):
     t.append(_df(spark, [(i, i % 4, f"v{i}") for i in range(100)]))
     plan = t.read(spark).filter(F.col("k") == 5)._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan or "Filter" in plan
+
+
+def test_two_tables_merge_independence(spark, cat):
+    """Transcript-style second payload table (reference main.py:377-506):
+    two keyed tables in one catalog, each with its own MERGE history —
+    commits to one never move the other's snapshot pointer or data."""
+    store = cat.table("store2", DDL)
+    transcripts = cat.table("transcripts", DDL)
+    store.append(_df(spark, [(1, 0, "img-a"), (2, 1, "img-b")]))
+    t_v0 = transcripts.current_snapshot_id()
+    transcripts.merge_upsert(spark, _df(spark, [(1, 0, "tr-a")]), "k")
+    transcripts.merge_upsert(spark, _df(spark, [(1, 0, "tr-a2"), (5, 2, "tr-e")]), "k")
+    store_before = {r["k"]: r["v"] for r in store.read(spark).collect()}
+    assert {r["k"]: r["v"] for r in transcripts.read(spark).collect()} == {
+        1: "tr-a2", 5: "tr-e"
+    }
+    # store's pointer and rows untouched by the transcript merges
+    assert store_before == {1: "img-a", 2: "img-b"}
+    # time travel still works per table
+    assert transcripts.read(spark, snapshot_id=t_v0 + 1).count() == 1
+    # filtered pagination over the second table (main.py:455-506)
+    page = (
+        transcripts.read(spark)
+        .orderBy(F.desc("v"), F.asc("k"))
+        .offset(1)
+        .limit(1)
+        .collect()
+    )
+    assert [r["k"] for r in page] == [1]  # desc order: tr-e (k=5) first, offset skips it
