@@ -606,6 +606,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["transcript_upsert"] = q_transcript_upsert
 
+    def q_category_discovery(spark, sf):
+        """S5: category-link discovery — ordered selector cascade with a
+        hardcoded fallback (reference google_news_crawler.py:56-183): some
+        synthetic nav pages expose the primary pattern, some only the
+        legacy one, the rest neither (fallback wins)."""
+        docs = _t(spark, sf, "documents")
+        srcs = docs.select("source").distinct()
+        tag = F.regexp_extract("source", r"(\d+)", 1).cast("int") % 3
+        html = (
+            F.when(
+                tag == 0,
+                F.concat(
+                    F.lit('<a class="nav" href="/topics/'),
+                    F.col("source"), F.lit('-world">World</a>'),
+                ),
+            )
+            .when(
+                tag == 1,
+                F.concat(
+                    F.lit('<div data-cat="'), F.col("source"), F.lit('-biz"></div>')
+                ),
+            )
+            .otherwise(F.lit("<nav>no categories</nav>"))
+        )
+        return srcs.withColumn("_html", html).select(
+            "source",
+            F.coalesce(
+                T.regex_cascade(
+                    F.col("_html"),
+                    [r'href="/topics/([^"]+)"', r'data-cat="([^"]+)"'],
+                ),
+                F.lit("general"),
+            ).alias("category_url"),
+        )
+
+    q["category_discovery"] = q_category_discovery
+
     def q_decode_features(spark, sf):
         from newscrawler_spark import datagen
         from newscrawler_spark.functions import multimodal as MM
@@ -932,6 +969,22 @@ def oracle_sql() -> dict[str, str]:
           UNION ALL SELECT * FROM b2)
         SELECT event_id, v, version FROM m
         ORDER BY v DESC, event_id ASC LIMIT 20 OFFSET 10
+    """
+    o["category_discovery"] = """
+        WITH s AS (SELECT DISTINCT source FROM documents),
+        h AS (
+          SELECT source,
+                 CASE WHEN CAST(regexp_extract(source, '(\\d+)', 1) AS INTEGER) % 3 = 0
+                        THEN '<a class="nav" href="/topics/' || source || '-world">World</a>'
+                      WHEN CAST(regexp_extract(source, '(\\d+)', 1) AS INTEGER) % 3 = 1
+                        THEN '<div data-cat="' || source || '-biz"></div>'
+                      ELSE '<nav>no categories</nav>' END AS html
+          FROM s)
+        SELECT source,
+               COALESCE(NULLIF(regexp_extract(html, 'href="/topics/([^"]+)"', 1), ''),
+                        NULLIF(regexp_extract(html, 'data-cat="([^"]+)"', 1), ''),
+                        'general') AS category_url
+        FROM h
     """
     o["cosine_topk"] = """
         WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

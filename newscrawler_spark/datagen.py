@@ -83,6 +83,20 @@ def blocklist_hosts(seed: int, n_hosts: int) -> list[str]:
     return sorted(host_name(r) for r in picks)
 
 
+def robots_denied_hosts(seed: int, n_hosts: int) -> list[str]:
+    """Deterministic per-host robots.txt verdict: ~10% of hosts disallow.
+
+    Models the robots fetch a crawler performs on first host contact
+    (north rule "robots gate"); the verdict is a pure function of
+    (seed, host rank) so engine and oracle agree without a network. Rank 1
+    (the hot host) stays allowed so politeness skew pressure is preserved.
+    """
+    rng = np.random.default_rng((seed, 13))
+    k = max(2, n_hosts // 10)
+    picks = {int(r) for r in rng.integers(2, max(3, n_hosts + 1), size=k)}
+    return sorted(host_name(r) for r in picks)
+
+
 # ----------------------------------------------------------------- payload
 
 

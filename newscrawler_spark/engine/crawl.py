@@ -60,16 +60,22 @@ STORE_DDL = (
     "url_hash long, bucket int, host string, image_id string, caption string, "
     "phash long, w int, h int, fmt string, psnr double, first_epoch int, last_epoch int"
 )
-HOST_STATE_DDL = "host string, host_hash long, bucket int, last_epoch int, fetch_count long"
-FETCH_LOG_DDL = (
-    "epoch int, bucket int, n_fetched long, n_stored long, n_rejected long, "
-    "n_invalid long, n_retry long, n_dead long, n_discovered long, n_new_frontier long"
+HOST_STATE_DDL = (
+    "host string, host_hash long, bucket int, last_epoch int, fetch_count long, "
+    "robots_allowed boolean"
 )
-# crawl_order persists the ranking *keys*; seq is derived at read time
-# (crawl_order_with_seq) so the hot loop never runs a single-task global
-# row_number over the batch
+FETCH_LOG_DDL = (
+    "epoch int, bucket int, n_fetched long, n_cached long, n_stored long, "
+    "n_rejected long, n_invalid long, n_retry long, n_dead long, "
+    "n_discovered long, n_new_frontier long"
+)  # PER-BUCKET; n_fetched counts scheduled contacts, n_cached of those were
+# served from the store without HTTP/decode (cache-aside path)
+# crawl_order persists the ranking *keys* (plus host, so politeness can be
+# audited offline); seq is derived at read time (crawl_order_with_seq) so
+# the hot loop never runs a single-task global row_number over the batch
 ORDER_DDL = (
-    "epoch int, url_hash long, bucket int, priority double, discovered_at timestamp"
+    "epoch int, url_hash long, bucket int, host string, "
+    "priority double, discovered_at timestamp"
 )
 
 def _epoch_discovery_ts(epoch: int):
@@ -104,6 +110,12 @@ class CrawlConfig:
     max_retries: int = 3
     expand: bool = True          # full-coverage link expansion on/off
     min_caption_len: int = 1000  # crawl admission filter (main.py:183-184)
+    cache_aside: bool = True     # skip fetch+decode for already-stored URLs
+    parallel_commit: bool = True  # overlap the 6 independent table commits
+    # above this batch size the epoch switches to the cluster-scale shape:
+    # no TakeOrderedAndProject driver merge in select_batch and no broadcast
+    # of the batch into the payload join (VERDICT r01 perf #2)
+    distributed_batch_threshold: int = 500_000
     use_bloom: bool = True       # bloom prefilter in front of the seen anti-join
     bloom_rebuild_fraction: int = 4  # rebuild when >= bucket_count/N dirty
 
@@ -129,6 +141,11 @@ class CrawlEngine:
         # buckets whose seen-set grew since their bloom was last rebuilt;
         # probed via the exact join until the next amortized rebuild
         self._bloom_dirty: set[int] = set()
+        # set once a requeue makes store hits possible; in the standard
+        # drain the seen-set invariant guarantees a batch URL is never in
+        # the store, so the cache-aside split would be wasted jobs
+        self._cache_check: bool = False
+        self._epoch_tmp: DataFrame | None = None  # large-path survivors cache
 
     # ------------------------------------------------------------ payload
 
@@ -146,19 +163,32 @@ class CrawlEngine:
 
     # ---------------------------------------------------------- bootstrap
 
+    def _gated_hosts_df(self) -> DataFrame:
+        """Hosts a crawler must never enqueue: the static excluded-domain
+        list (reference url_utils.py:18-34) plus robots.txt-disallowed hosts
+        (verdict resolved deterministically at first contact, see
+        datagen.robots_denied_hosts). Broadcast dim for the admission
+        anti-join — at cluster scale this is the per-host robots cache."""
+        cfg = self.cfg
+        gated = sorted(
+            set(datagen.blocklist_hosts(cfg.seed, cfg.n_hosts))
+            | set(datagen.robots_denied_hosts(cfg.seed, cfg.n_hosts))
+        )
+        return self.spark.createDataFrame([(h,) for h in gated], "host string")
+
     def bootstrap(self, seeds: DataFrame) -> None:
-        """Ingest the seed list: canonicalize, blocklist-gate, first-wins dedup.
+        """Ingest the seed list: canonicalize, blocklist+robots gate,
+        first-wins dedup.
 
         Reference analog: seen_urls seeding + excluded-domain gate
         (google_news_crawler.py:269, main.py:200-203). First occurrence of a
         canonical URL wins (earliest discovered_at, url tie-break), matching
-        the reference's set-guard insertion order.
+        the reference's set-guard insertion order. Also seeds host_state
+        with the per-host robots verdict so the gate survives resume.
         """
         cfg = self.cfg
         s = with_url_identity(seeds, "url", cfg.bucket_count)
-        blocked = datagen.blocklist_hosts(cfg.seed, cfg.n_hosts)
-        bl = self.spark.createDataFrame([(h,) for h in blocked], "host string")
-        s = s.join(F.broadcast(bl), on="host", how="left_anti")
+        s = s.join(F.broadcast(self._gated_hosts_df()), on="host", how="left_anti")
         w = Window.partitionBy("url_hash").orderBy(
             F.col("discovered_at").asc(), F.col("url").asc()
         )
@@ -172,6 +202,27 @@ class CrawlEngine:
         )
         fid = self.frontier.overwrite(s, {"rows": "bootstrap"})
         sid = self.seen.overwrite(s.select("url_hash", "bucket"))
+        # persist per-host robots verdicts (host_state is the robots cache;
+        # at 10^8 hosts this dim is generated distributed, not driver-side)
+        denied = set(datagen.robots_denied_hosts(cfg.seed, cfg.n_hosts))
+        blocked = set(datagen.blocklist_hosts(cfg.seed, cfg.n_hosts))
+        hosts = self.spark.createDataFrame(
+            [
+                (h, h not in denied)
+                for r in range(1, cfg.n_hosts + 1)
+                for h in [datagen.host_name(r)]
+                if h not in blocked  # statically excluded hosts are never contacted
+            ],
+            "host string, robots_allowed boolean",
+        ).select(
+            "host",
+            F.xxhash64("host").alias("host_hash"),
+            F.pmod(F.xxhash64("host"), F.lit(cfg.bucket_count)).cast("int").alias("bucket"),
+            F.lit(-1).alias("last_epoch"),
+            F.lit(0).cast("long").alias("fetch_count"),
+            "robots_allowed",
+        )
+        self.host_state.overwrite(hosts, {"rows": "robots_bootstrap"})
         bloom_id = (
             self.seen_bloom.rebuild_buckets(
                 self.spark, self.seen, list(range(cfg.bucket_count))
@@ -179,7 +230,7 @@ class CrawlEngine:
             if cfg.use_bloom
             else self.seen_bloom.table.current_snapshot_id()
         )
-        self.catalog.checkpoint(
+        self._checkpoint(
             -1,
             {
                 "frontier": fid,
@@ -191,6 +242,66 @@ class CrawlEngine:
                 "crawl_order": self.crawl_order.current_snapshot_id(),
             },
         )
+
+    def _checkpoint(self, epoch: int, snapshots: dict) -> None:
+        """Every checkpoint carries the bloom-dirty set: a resume must know
+        which blooms are stale, or a bloom false negative after restart
+        would re-admit a seen URL (ADVICE r01: the empty-batch checkpoint
+        used to drop it). The cache-check flag rides along so a resumed
+        engine keeps splitting batches against the store after a requeue."""
+        self.catalog.checkpoint(
+            epoch,
+            snapshots,
+            extra={
+                "bloom_dirty": sorted(self._bloom_dirty),
+                "cache_check": self._cache_check,
+            },
+        )
+
+    # ------------------------------------------------------------- requeue
+
+    def requeue(self, urls: DataFrame, not_before: int = 0) -> int:
+        """Force-refresh: re-insert already-seen URLs into the frontier.
+
+        Reference analog: a repeat /crawlnews request for URLs the store
+        already holds — the extractor then serves them from its DB cache
+        instead of re-fetching (/root/reference/utils/article_extractor.py:
+        412-479, cache check :419-433). ``urls`` needs (url, priority,
+        discovered_at, category, language). Rows already pending in the
+        frontier are skipped (their scheduled fetch stands); the seen set is
+        unchanged (these URLs are seen by definition). Returns #inserted.
+        """
+        cfg = self.cfg
+        s = with_url_identity(urls, "url", cfg.bucket_count)
+        s = s.join(F.broadcast(self._gated_hosts_df()), on="host", how="left_anti")
+        w = Window.partitionBy("url_hash").orderBy(
+            F.col("discovered_at").asc(), F.col("url").asc()
+        )
+        s = (
+            s.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .withColumn("retry_count", F.lit(0))
+            .withColumn("not_before", F.lit(not_before))
+            .select(*[c.strip().split(" ")[0] for c in FRONTIER_DDL.split(",")])
+        )
+        if not self.frontier.is_empty():
+            pending = self.frontier.read(self.spark).select("url_hash")
+            s = s.join(pending, on="url_hash", how="left_anti")
+        s = s.cache()
+        n = s.count()
+        if n:
+            self.frontier.append(s, {"op": "requeue"})
+            self._cache_check = True
+            if self._frontier_est is not None:
+                self._frontier_est += n
+            ck = self.catalog.last_checkpoint()
+            if ck:  # make the requeue + flag durable for resume
+                snaps = dict(ck["snapshots"])
+                snaps["frontier"] = self.frontier.current_snapshot_id()
+                self._checkpoint(ck["epoch"], snaps)
+        s.unpersist()
+        return int(n)
 
     # ------------------------------------------------------------ ranking
 
@@ -225,9 +336,47 @@ class CrawlEngine:
             .filter(F.col("_hr") <= cfg.host_quota)
             .drop("_hr")
         )
-        # Global top-K: TakeOrderedAndProject (distributed per-partition
-        # top-K + driver merge), never a full global sort.
-        return survivors.orderBy(*rank_keys()).limit(cfg.batch_size)
+        # Global top-K. Small batches: TakeOrderedAndProject (distributed
+        # per-partition top-K + driver merge of K rows) — fastest, but the
+        # driver materializes the batch. Large batches (multi-million-row
+        # epochs at the 10^10-frontier regime): quantile-prefiltered exact
+        # rank that never touches the driver and keeps the batch a
+        # distributed DataFrame.
+        if cfg.batch_size <= cfg.distributed_batch_threshold:
+            return survivors.orderBy(*rank_keys()).limit(cfg.batch_size)
+        return self._topk_distributed(survivors, cfg.batch_size)
+
+    def _topk_distributed(self, survivors: DataFrame, k: int) -> DataFrame:
+        """Exact global top-K with no driver merge and bounded task input.
+
+        1. approxQuantile finds a priority cutoff t with slack such that
+           ~1.5k rows have priority >= t (one pass over survivors);
+        2. the >=t filter reduces the rank input from |survivors| to O(k)
+           WITHOUT changing the answer (the true top-k all have
+           priority >= t because >=k rows do);
+        3. an exact row_number over the filtered set picks the identical
+           batch the small path would. The single-task window sees only the
+           ~1.5k candidate rows — executor-side and bounded, never the
+           10^10-row frontier; the result is immediately repartitioned by
+           bucket for the downstream joins.
+        """
+        survivors = survivors.cache()
+        self._epoch_tmp = survivors  # unpersisted by run_epoch after the batch materializes
+        total = survivors.count()
+        if total <= k:
+            return survivors.repartition(F.col("bucket"))
+        frac = min(1.0, (1.5 * k) / total)
+        t = survivors.stat.approxQuantile("priority", [max(0.0, 1.0 - frac)], 0.001)[0]
+        cand = survivors.filter(F.col("priority") >= t)
+        if cand.count() < k:  # quantile undershot: any superset stays exact
+            cand = survivors
+        w = Window.orderBy(*rank_keys())
+        return (
+            cand.withColumn("_gr", F.row_number().over(w))
+            .filter(F.col("_gr") <= k)
+            .drop("_gr")
+            .repartition(F.col("bucket"))
+        )
 
     # -------------------------------------------------------------- fetch
 
@@ -301,11 +450,13 @@ class CrawlEngine:
         ).withColumn(
             "payload_idx", F.pmod(F.col("url_hash"), F.lit(cfg.n_payload)).cast("long")
         )
-        # batch is tiny vs payload: broadcast it so the payload scan joins
-        # without a shuffle.
-        joined = self.payload_df().join(
-            F.broadcast(b.filter(F.col("status") == 200)), on="payload_idx", how="inner"
-        )
+        # small batch: broadcast it so the payload scan joins without a
+        # shuffle. Large (cluster-scale) batch: a broadcast would hit the
+        # 8 GB/driver-memory wall — let it shuffle-join instead.
+        ok = b.filter(F.col("status") == 200)
+        if cfg.batch_size <= cfg.distributed_batch_threshold:
+            ok = F.broadcast(ok)
+        joined = self.payload_df().join(ok, on="payload_idx", how="inner")
         decode_udf = self._decode_validate_udf()
         ok = joined.withColumn(
             "_v", decode_udf("bytes", "fmt", "w", "h", "phash", "payload_idx")
@@ -356,15 +507,37 @@ class CrawlEngine:
         spark = self.spark
         batch = self.select_batch(epoch).cache()
         n_batch = batch.count()
+        if self._epoch_tmp is not None:
+            self._epoch_tmp.unpersist()
+            self._epoch_tmp = None
         mark("select_batch")
         if n_batch == 0:
             # nothing eligible this epoch; pending retries may unlock later
             n_left = 0 if self.frontier.is_empty() else self.frontier.read(spark).count()
             ck = self.catalog.last_checkpoint()
-            self.catalog.checkpoint(epoch, ck["snapshots"] if ck else {})
+            self._checkpoint(epoch, ck["snapshots"] if ck else {})
             return {"epoch": epoch, "fetched": 0, "done": n_left == 0}
 
-        results = self.fetch_batch(batch).cache()
+        # cache-aside split (reference article_extractor.py:412-479): batch
+        # URLs already in the store are served from it — no HTTP, no decode.
+        # Possible only after a requeue (the seen-set invariant otherwise
+        # keeps stored URLs out of the frontier), so the split is gated.
+        hits: DataFrame | None = None
+        cached_counts: dict[int, int] = {}
+        fetch_input = batch
+        if cfg.cache_aside and self._cache_check and not self.store.is_empty():
+            store_keys = self.store.read(spark).select("url_hash")
+            hits = batch.join(store_keys, on="url_hash", how="left_semi").cache()
+            cached_counts = {
+                r["bucket"]: int(r["n"])
+                for r in hits.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+            }
+            if cached_counts:
+                fetch_input = batch.join(store_keys, on="url_hash", how="left_anti")
+            else:
+                hits.unpersist()
+                hits = None
+        results = self.fetch_batch(fetch_input).cache()
 
         # per-bucket lineage metrics in ONE aggregation pass over results;
         # also materializes the results cache and hands every downstream
@@ -393,11 +566,14 @@ class CrawlEngine:
             .collect()
         )
         mark("fetch+log_agg")
-        batch_buckets = [r["bucket"] for r in log_rows]
-        store_buckets = [r["bucket"] for r in log_rows if r["n_stored"] > 0]
+        batch_buckets = sorted({r["bucket"] for r in log_rows} | set(cached_counts))
+        store_buckets = sorted(
+            {r["bucket"] for r in log_rows if r["n_stored"] > 0} | set(cached_counts)
+        )
         n_dead = sum(r["n_dead"] for r in log_rows)
         n_retry = sum(r["n_retry"] for r in log_rows)
         n_stored_total = sum(r["n_stored"] for r in log_rows)
+        n_cached_total = sum(cached_counts.values())
 
         # --- store MERGE: valid + admission filter (caption >= 1000 chars);
         # first_epoch preserved for re-stored rows inside the merge itself
@@ -411,12 +587,71 @@ class CrawlEngine:
                 F.lit(epoch).alias("last_epoch"),
             )
         )
-        store_id = self.store.merge_upsert(
-            spark, stored, "url_hash",
-            touched=store_buckets, preserve_cols=["first_epoch"],
-        )
+        if hits is not None and cached_counts:
+            # cache hits: refresh last_epoch from the stored row — no decode
+            refreshed = (
+                self.store.read(spark)
+                .join(hits.select("url_hash"), on="url_hash", how="left_semi")
+                .withColumn("last_epoch", F.lit(epoch))
+                .select(*stored.columns)
+            )
+            stored = stored.unionByName(refreshed)
 
-        mark("store_merge")
+        # The six per-epoch table commits write six DIFFERENT tables, so
+        # their Spark jobs are independent; running them sequentially left
+        # a flat ~8 s of commit latency per epoch that crushed N->4N scaling
+        # (VERDICT r01 perf #1). They are submitted from worker threads —
+        # Spark schedules concurrent jobs from one driver — with the only
+        # true ordering kept: seen append before the bloom rebuild that
+        # reads it, expansion before frontier/seen/log (their inputs).
+        from concurrent.futures import ThreadPoolExecutor
+
+        def store_task():
+            return self.store.merge_upsert(
+                spark, stored, "url_hash",
+                touched=store_buckets, preserve_cols=["first_epoch"],
+            )
+
+        def host_task():
+            host_delta = (
+                batch.groupBy("host", "host_hash", "bucket")
+                .agg(F.count("*").alias("_n"))
+                .withColumn("last_epoch", F.lit(epoch))
+            )
+            if not self.host_state.is_empty():
+                prev = self.host_state.read(spark).select(
+                    "host", F.col("fetch_count").alias("_prev")
+                )
+                host_delta = (
+                    host_delta.join(prev, on="host", how="left")
+                    .withColumn(
+                        "fetch_count", F.coalesce("_prev", F.lit(0)) + F.col("_n")
+                    )
+                    .drop("_prev", "_n")
+                )
+            else:
+                host_delta = host_delta.withColumn(
+                    "fetch_count", F.col("_n").cast("long")
+                ).drop("_n")
+            host_delta = host_delta.select(
+                "host", "host_hash", "bucket", "last_epoch", "fetch_count",
+                F.lit(True).alias("robots_allowed"),  # fetched => was admitted
+            )
+            return self.host_state.merge_upsert(spark, host_delta, "host")
+
+        def order_task():
+            return self.crawl_order.append(
+                batch.select(
+                    F.lit(epoch).alias("epoch"), "url_hash", "bucket", "host",
+                    "priority", "discovered_at",
+                )
+            )
+
+        pool = ThreadPoolExecutor(max_workers=6) if cfg.parallel_commit else None
+        if pool:
+            f_store = pool.submit(store_task)
+            f_host = pool.submit(host_task)
+            f_order = pool.submit(order_task)
 
         # --- retries / dead letters (403/429 backoff re-queue, T4)
         failures = results.filter(F.col("status") != 200).select("url_hash", "status")
@@ -448,9 +683,7 @@ class CrawlEngine:
                 .select(F.explode("_out").alias("url"))
             )
             disc = with_url_identity(disc, "url", cfg.bucket_count)
-            blocked = datagen.blocklist_hosts(seed, n_hosts)
-            bl = spark.createDataFrame([(h,) for h in blocked], "host string")
-            disc = disc.join(F.broadcast(bl), on="host", how="left_anti")
+            disc = disc.join(F.broadcast(self._gated_hosts_df()), on="host", how="left_anti")
             wd = Window.partitionBy("url_hash").orderBy(F.col("url").asc())
             disc = disc.withColumn("_rn", F.row_number().over(wd)).filter(
                 F.col("_rn") == 1
@@ -486,76 +719,89 @@ class CrawlEngine:
 
         mark("expand")
 
-        # --- commit: frontier delete+insert, seen append, host_state MERGE,
-        #     lineage append, crawl order append, checkpoint.
-        inserts = retry_rows.unionByName(discovered)
-        frontier_id = self.frontier.merge_delta(
-            spark, batch.select("url_hash", "bucket"), inserts, "url_hash",
-            {"epoch": epoch},
-            touched=sorted(set(batch_buckets) | set(disc_buckets)),
-        )
-        mark("frontier_merge")
-        seen_id = (
-            self.seen.append(discovered.select("url_hash", "bucket"))
-            if n_discovered
-            else self.seen.current_snapshot_id()
-        )
-        # amortized bloom maintenance: mark buckets dirty now, rebuild only
-        # when enough have accumulated (dirty buckets use the exact join in
-        # the meantime, so exactness never depends on bloom freshness)
-        if cfg.use_bloom and n_discovered:
-            self._bloom_dirty |= set(disc_buckets)
-        if cfg.use_bloom and len(self._bloom_dirty) >= max(
-            1, cfg.bucket_count // cfg.bloom_rebuild_fraction
-        ):
-            bloom_id = self.seen_bloom.rebuild_buckets(
-                spark, self.seen, sorted(self._bloom_dirty)
+        # --- commit: frontier delete+insert, seen append (+ amortized bloom
+        #     rebuild), lineage append — independent tables, same pool.
+        def frontier_task():
+            inserts = retry_rows.unionByName(discovered)
+            return self.frontier.merge_delta(
+                spark, batch.select("url_hash", "bucket"), inserts, "url_hash",
+                {"epoch": epoch},
+                touched=sorted(set(batch_buckets) | set(disc_buckets)),
             )
-            self._bloom_dirty = set()
-        else:
-            bloom_id = self.seen_bloom.table.current_snapshot_id()
 
-        mark("seen_append")
-        host_delta = (
-            batch.groupBy("host", "host_hash", "bucket")
-            .agg(F.count("*").alias("_n"))
-            .withColumn("last_epoch", F.lit(epoch))
-        )
-        if not self.host_state.is_empty():
-            prev = self.host_state.read(spark).select(
-                "host", F.col("fetch_count").alias("_prev")
+        def seen_bloom_task():
+            seen_id = (
+                self.seen.append(discovered.select("url_hash", "bucket"))
+                if n_discovered
+                else self.seen.current_snapshot_id()
             )
-            host_delta = (
-                host_delta.join(prev, on="host", how="left")
-                .withColumn("fetch_count", F.coalesce("_prev", F.lit(0)) + F.col("_n"))
-                .drop("_prev", "_n")
-            )
-        else:
-            host_delta = host_delta.withColumn("fetch_count", F.col("_n").cast("long")).drop("_n")
-        host_delta = host_delta.select("host", "host_hash", "bucket", "last_epoch", "fetch_count")
-        host_id = self.host_state.merge_upsert(spark, host_delta, "host")
-
-        mark("host_merge")
-        log = spark.createDataFrame(
-            [
-                (
-                    epoch, r["bucket"], r["n_fetched"], r["n_stored"],
-                    r["n_rejected"], r["n_invalid"], r["n_retry"], r["n_dead"],
-                    int(n_discovered), int(n_discovered),
+            # amortized bloom maintenance: mark buckets dirty now, rebuild
+            # only when enough have accumulated (dirty buckets use the exact
+            # join meanwhile, so exactness never depends on bloom freshness)
+            if cfg.use_bloom and n_discovered:
+                self._bloom_dirty |= set(disc_buckets)
+            if cfg.use_bloom and len(self._bloom_dirty) >= max(
+                1, cfg.bucket_count // cfg.bloom_rebuild_fraction
+            ):
+                bloom_id = self.seen_bloom.rebuild_buckets(
+                    spark, self.seen, sorted(self._bloom_dirty)
                 )
-                for r in log_rows
-            ],
-            FETCH_LOG_DDL,
-        )
-        log_id = self.fetch_log.append(log)
-        order_id = self.crawl_order.append(
-            batch.select(
-                F.lit(epoch).alias("epoch"), "url_hash", "bucket",
-                "priority", "discovered_at",
+                self._bloom_dirty = set()
+            else:
+                bloom_id = self.seen_bloom.table.current_snapshot_id()
+            return seen_id, bloom_id
+
+        def log_task():
+            # lineage is PER-BUCKET: discoveries counted in the bucket they
+            # land in, new-frontier = that bucket's retry re-inserts +
+            # discoveries (ADVICE r01: global totals were stamped per row)
+            disc_by_bucket = (
+                {r["bucket"]: int(r["n"]) for r in disc_stats} if cfg.expand else {}
             )
-        )
-        mark("log+order_append")
-        self.catalog.checkpoint(
+            log_by_bucket = {r["bucket"]: r for r in log_rows}
+            log = spark.createDataFrame(
+                [
+                    (
+                        epoch, b,
+                        (int(r["n_fetched"]) if r else 0) + cached_counts.get(b, 0),
+                        cached_counts.get(b, 0),
+                        int(r["n_stored"]) if r else 0,
+                        int(r["n_rejected"]) if r else 0,
+                        int(r["n_invalid"]) if r else 0,
+                        int(r["n_retry"]) if r else 0,
+                        int(r["n_dead"]) if r else 0,
+                        disc_by_bucket.get(b, 0),
+                        (int(r["n_retry"]) if r else 0) + disc_by_bucket.get(b, 0),
+                    )
+                    for b in sorted(
+                        set(log_by_bucket) | set(disc_by_bucket) | set(cached_counts)
+                    )
+                    for r in [log_by_bucket.get(b)]
+                ],
+                FETCH_LOG_DDL,
+            )
+            return self.fetch_log.append(log)
+
+        if pool:
+            f_frontier = pool.submit(frontier_task)
+            f_seen = pool.submit(seen_bloom_task)
+            f_log = pool.submit(log_task)
+            store_id = f_store.result()
+            host_id = f_host.result()
+            order_id = f_order.result()
+            frontier_id = f_frontier.result()
+            seen_id, bloom_id = f_seen.result()
+            log_id = f_log.result()
+            pool.shutdown()
+        else:
+            store_id = store_task()
+            host_id = host_task()
+            order_id = order_task()
+            frontier_id = frontier_task()
+            seen_id, bloom_id = seen_bloom_task()
+            log_id = log_task()
+        mark("parallel_commit")
+        self._checkpoint(
             epoch,
             {
                 "frontier": frontier_id,
@@ -566,7 +812,6 @@ class CrawlEngine:
                 "fetch_log": log_id,
                 "crawl_order": order_id,
             },
-            extra={"bloom_dirty": sorted(self._bloom_dirty)},
         )
         # bound read amplification on the append-only seen table
         if self.seen.max_dirs_per_bucket() > 6:
@@ -582,6 +827,7 @@ class CrawlEngine:
         stats = {
             "epoch": epoch,
             "fetched": int(n_batch),
+            "cached": int(n_cached_total),
             "stored": int(n_stored_total),
             "discovered": int(n_discovered),
             "dead": int(n_dead),
@@ -589,6 +835,8 @@ class CrawlEngine:
         }
         batch.unpersist()
         results.unpersist()
+        if hits is not None:
+            hits.unpersist()
         return stats
 
     # -------------------------------------------------------------- drive
@@ -600,7 +848,7 @@ class CrawlEngine:
         return (
             self.crawl_order.read(self.spark)
             .withColumn("seq", F.row_number().over(w).cast("long"))
-            .select("epoch", "seq", "url_hash", "bucket")
+            .select("epoch", "seq", "url_hash", "bucket", "host")
         )
 
     def resume_epoch(self) -> int:
@@ -608,6 +856,7 @@ class CrawlEngine:
         epoch = self.catalog.restore_latest()
         ck = self.catalog.last_checkpoint() or {}
         self._bloom_dirty = set(ck.get("bloom_dirty", []))
+        self._cache_check = bool(ck.get("cache_check", False))
         return epoch + 1
 
     def drain(self, max_epochs: int = 100) -> list[dict]:

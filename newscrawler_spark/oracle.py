@@ -54,7 +54,9 @@ class OracleCrawl:
         self.cfg = cfg
         self.frontier: dict[int, FrontierRow] = {}
         self.res = OracleResult()
-        self.blocked = set(datagen.blocklist_hosts(cfg.seed, cfg.n_hosts))
+        self.blocked = set(datagen.blocklist_hosts(cfg.seed, cfg.n_hosts)) | set(
+            datagen.robots_denied_hosts(cfg.seed, cfg.n_hosts)
+        )  # static excluded domains + robots.txt-disallowed hosts
         self._payload_cache: dict[int, tuple] = {}
 
     # --------------------------------------------------------------- setup
@@ -79,6 +81,22 @@ class OracleCrawl:
             self._payload_cache[idx] = datagen.payload_row(idx, self.cfg.seed)
         return self._payload_cache[idx]
 
+    def requeue(self, rows: list[tuple]) -> int:
+        """Force-refresh twin of CrawlEngine.requeue: re-insert seen URLs
+        into the frontier (skipping gated hosts and URLs already pending)."""
+        n = 0
+        for url, priority, discovered_at, _cat, _lang in rows:
+            host = canonical_host_py(url)
+            if host in self.blocked:
+                continue
+            canon = canonicalize_py(url)
+            h = xxh64_str(canon)
+            if h in self.frontier:
+                continue
+            self.frontier[h] = FrontierRow(canon, host, h, float(priority), discovered_at)
+            n += 1
+        return n
+
     def run_epoch(self, epoch: int) -> dict:
         cfg = self.cfg
         eligible = [r for r in self.frontier.values() if r.not_before <= epoch]
@@ -93,12 +111,18 @@ class OracleCrawl:
             if len(taken) >= cfg.batch_size:
                 break
 
-        n_stored = n_discovered = n_dead = 0
+        n_stored = n_discovered = n_dead = n_cached = 0
         discovered_rows: list[FrontierRow] = []
         epoch_discovered: dict[int, str] = {}
         for seq, r in enumerate(taken, start=1):
             self.res.order.append((epoch, seq, r.url_hash))
             del self.frontier[r.url_hash]
+            if getattr(cfg, "cache_aside", True) and r.url_hash in self.res.store:
+                # cache-aside: served from the store — no HTTP, no decode,
+                # no expansion (article_extractor.py:419-433)
+                self.res.store[r.url_hash]["last_epoch"] = epoch
+                n_cached += 1
+                continue
             status = datagen.fetch_status(r.url_hash, cfg.seed)
             if status != 200:
                 if r.retry_count < cfg.max_retries:
@@ -173,6 +197,7 @@ class OracleCrawl:
         stats = {
             "epoch": epoch,
             "fetched": len(taken),
+            "cached": n_cached,
             "stored": n_stored,
             "discovered": n_discovered,
             "dead": n_dead,

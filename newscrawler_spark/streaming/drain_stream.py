@@ -55,14 +55,8 @@ def stream_seed_ingest(
     )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        from .. import datagen
-
         s = with_url_identity(batch_df, "url", cfg.bucket_count)
-        blocked = datagen.blocklist_hosts(cfg.seed, cfg.n_hosts)
-        bl = batch_df.sparkSession.createDataFrame(
-            [(h,) for h in blocked], "host string"
-        )
-        s = s.join(F.broadcast(bl), on="host", how="left_anti")
+        s = s.join(F.broadcast(engine._gated_hosts_df()), on="host", how="left_anti")
         w = Window.partitionBy("url_hash").orderBy(
             F.col("discovered_at").asc(), F.col("url").asc()
         )
@@ -76,9 +70,29 @@ def stream_seed_ingest(
         )
         seen_df = engine.seen.read(batch_df.sparkSession).select("url_hash")
         new_rows = s.join(seen_df, on="url_hash", how="left_anti").cache()
-        if new_rows.count():
-            engine.frontier.append(new_rows, {"stream_batch": batch_id})
-            engine.seen.append(new_rows.select("url_hash", "bucket"))
+        n_new = new_rows.count()
+        if n_new:
+            fid = engine.frontier.append(new_rows, {"stream_batch": batch_id})
+            sid = engine.seen.append(new_rows.select("url_hash", "bucket"))
+            # the appended buckets' blooms are now stale: mark them dirty so
+            # split_new routes them through the exact join (ADVICE r01 (a) —
+            # otherwise a stale bloom could re-admit a streamed URL)
+            touched = {
+                r[0] for r in new_rows.select("bucket").distinct().collect()
+            }
+            engine._bloom_dirty |= touched
+            if engine._frontier_est is not None:
+                engine._frontier_est += int(n_new)
+            # durable hand-off to the batch engine: without a catalog
+            # checkpoint, the next resume would roll the frontier/seen
+            # pointers back past these appends while Spark's own stream
+            # checkpoint has already consumed the input files — losing the
+            # seeds permanently (ADVICE r01 (b))
+            ck = engine.catalog.last_checkpoint()
+            snaps = dict(ck["snapshots"]) if ck else {}
+            snaps["frontier"] = fid
+            snaps["seen"] = sid
+            engine._checkpoint(ck["epoch"] if ck else -1, snaps)
         new_rows.unpersist()
 
     writer = stream.writeStream.foreachBatch(process).option(

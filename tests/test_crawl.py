@@ -93,21 +93,20 @@ def test_store_matches_and_payload_invariants(spark, engine, oracle, small_cfg):
 
 
 def test_politeness_quota_never_exceeded(spark, engine, small_cfg):
-    """No host is fetched more than host_quota times in any epoch."""
-    order = engine.crawl_order_with_seq()
-    frontier_hosts = engine.seen.read(spark)  # url_hash -> bucket only; use store+log
-    # reconstruct host per fetched url_hash from the oracle-shared pure fns
-    rows = order.collect()
+    """No host is fetched more than host_quota times in any epoch — asserted
+    on the ENGINE's own emitted crawl order (host is persisted per row)."""
     from collections import Counter
 
-    per = Counter()
-    # host of a url_hash is not directly recoverable; use fetch_log instead:
-    # n_fetched per (epoch,bucket) is bounded by quota * hosts-in-bucket, so
-    # assert via host_state: fetch_count consistent and per-epoch counts from
-    # crawl order grouped by epoch never exceed batch_size.
+    rows = engine.crawl_order_with_seq().collect()
+    per = Counter((r["epoch"], r["host"]) for r in rows)
+    assert per, "crawl order is empty"
+    worst = max(per.values())
+    assert worst <= small_cfg.host_quota, f"host over quota: {worst}"
     by_epoch = Counter(r["epoch"] for r in rows)
-    for e, n in by_epoch.items():
+    for _e, n in by_epoch.items():
         assert n <= small_cfg.batch_size
+    # the quota must actually bind somewhere, or this test is vacuous
+    assert worst == small_cfg.host_quota
 
 
 def test_host_quota_exact(spark, small_cfg, seed_rows, tmp_path_factory):
@@ -185,23 +184,124 @@ def test_resume_rolls_back_torn_epoch(spark, small_cfg, seed_rows, tmp_path_fact
 
 
 def test_fetch_log_lineage_totals(spark, engine, oracle):
-    """Per-bucket lineage sums to the oracle's per-epoch stats."""
+    """Per-bucket lineage sums to the oracle's per-epoch stats — including
+    the per-bucket discovery counts (summing them must give the epoch total,
+    not bucket_count times it; ADVICE r01)."""
     log = (
         engine.fetch_log.read(spark)
         .groupBy("epoch")
         .agg(
             F.sum("n_fetched").alias("f"),
             F.sum("n_stored").alias("s"),
+            F.sum("n_discovered").alias("d"),
         )
         .collect()
     )
-    got = {r["epoch"]: (r["f"], r["s"]) for r in log}
-    want = {st["epoch"]: (st["fetched"], st["stored"]) for st in oracle.res.log}
-    for e, (f, s) in got.items():
-        assert (f, s) == want[e]
+    got = {r["epoch"]: (r["f"], r["s"], r["d"]) for r in log}
+    want = {
+        st["epoch"]: (st["fetched"], st["stored"], st["discovered"])
+        for st in oracle.res.log
+    }
+    for e, (f, s, d) in got.items():
+        assert (f, s, d) == want[e]
 
 
 def test_blocklisted_hosts_never_fetched(spark, engine, small_cfg):
     blocked = set(datagen.blocklist_hosts(small_cfg.seed, small_cfg.n_hosts))
-    hosts = {r["host"] for r in engine.host_state.read(spark).collect()}
-    assert not (hosts & blocked)
+    fetched = {
+        r["host"]
+        for r in engine.host_state.read(spark).filter(F.col("fetch_count") > 0).collect()
+    }
+    assert not (fetched & blocked)
+    # statically excluded hosts are never even contacted for robots
+    assert not ({r["host"] for r in engine.host_state.read(spark).collect()} & blocked)
+
+
+def test_robots_denied_hosts_never_fetched(spark, engine, small_cfg):
+    """North-rule robots gate: disallowed hosts never appear in the crawl
+    order, their verdict is persisted in host_state, and it survives resume
+    (host_state rides the same checkpoint protocol as the data)."""
+    denied = set(datagen.robots_denied_hosts(small_cfg.seed, small_cfg.n_hosts))
+    assert denied  # fixture must exercise the gate
+    order_hosts = {r["host"] for r in engine.crawl_order_with_seq().collect()}
+    assert not (order_hosts & denied)
+    hs = {r["host"]: r for r in engine.host_state.read(spark).collect()}
+    denied_rows = {h: r for h, r in hs.items() if h in denied}
+    assert denied_rows, "robots verdicts missing from host_state"
+    for h, r in denied_rows.items():
+        assert r["robots_allowed"] is False and r["fetch_count"] == 0
+    for h in order_hosts:
+        assert hs[h]["robots_allowed"] is True
+
+
+def test_cache_aside_requeue_skips_decode(spark, small_cfg, seed_rows, tmp_path_factory):
+    """Re-queued stored URLs are served from the store (no fetch/decode):
+    counted as n_cached in lineage, last_epoch refreshed, first_epoch kept,
+    crawl order still engine ≡ oracle (VERDICT r01 missing #1)."""
+    from newscrawler_spark.datagen import SEEDS_SCHEMA
+    from newscrawler_spark.urlnorm import canonicalize_py
+    from newscrawler_spark.xxh64 import xxh64_str
+
+    root = tmp_path_factory.mktemp("cache")
+    eng = _run_engine(spark, root, small_cfg, epochs=2)
+    orc = OracleCrawl(small_cfg)
+    orc.bootstrap(seed_rows)
+    for e in range(2):
+        orc.run_epoch(e)
+
+    stored_hashes = set(orc.res.store)
+    requeue_rows = [
+        r for r in seed_rows if xxh64_str(canonicalize_py(r[0])) in stored_hashes
+    ][:5]
+    assert len(requeue_rows) == 5
+    plain = [  # createDataFrame rejects numpy scalars from the pandas fixture
+        (str(u), float(p), t.to_pydatetime(), str(c), str(lg))
+        for (u, p, t, c, lg) in requeue_rows
+    ]
+    n_eng = eng.requeue(spark.createDataFrame(plain, SEEDS_SCHEMA))
+    n_orc = orc.requeue(requeue_rows)
+    assert n_eng == n_orc > 0
+
+    st_eng = eng.run_epoch(2)
+    st_orc = orc.run_epoch(2)
+    assert st_eng["cached"] == st_orc["cached"] == n_eng
+
+    # crawl order identical including the requeued epoch
+    eng_order = sorted(
+        (r["epoch"], r["seq"], r["url_hash"])
+        for r in eng.crawl_order_with_seq().collect()
+    )
+    assert eng_order == sorted(orc.res.order)
+    # lineage: epoch-2 cache hits recorded per bucket
+    log2 = eng.fetch_log.read(spark).filter(F.col("epoch") == 2)
+    assert log2.agg(F.sum("n_cached")).first()[0] == n_eng
+    # store row refreshed, origin epoch preserved
+    requeued_hashes = {xxh64_str(canonicalize_py(r[0])) for r in requeue_rows}
+    rows = (
+        eng.store.read(spark)
+        .filter(F.col("url_hash").isin(list(requeued_hashes)))
+        .collect()
+    )
+    assert len(rows) == len(requeued_hashes)
+    for r in rows:
+        assert r["last_epoch"] == 2 and r["first_epoch"] < 2
+    # seen set untouched by the requeue
+    assert {r["url_hash"] for r in eng.seen.read(spark).collect()} == orc.res.seen
+
+
+def test_distributed_batch_path_equals_driver_topk(spark, small_cfg, tmp_path_factory):
+    """The cluster-scale select path (quantile prefilter + executor-side
+    exact rank, no driver merge / no batch broadcast) must emit the
+    identical crawl order to the TakeOrderedAndProject fast path."""
+    cfg_big = dataclasses.replace(small_cfg, distributed_batch_threshold=0)
+    ea = _run_engine(spark, tmp_path_factory.mktemp("dtk_a"), small_cfg, epochs=2)
+    eb = _run_engine(spark, tmp_path_factory.mktemp("dtk_b"), cfg_big, epochs=2)
+    oa = sorted(
+        (r["epoch"], r["seq"], r["url_hash"])
+        for r in ea.crawl_order_with_seq().collect()
+    )
+    ob = sorted(
+        (r["epoch"], r["seq"], r["url_hash"])
+        for r in eb.crawl_order_with_seq().collect()
+    )
+    assert oa == ob and len(oa) > 0

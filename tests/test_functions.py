@@ -48,7 +48,8 @@ def test_simhash_near_pairs(spark, docs):
     sh = D.simhash(docs, "doc_id", "text")
     vals = {r["doc_id"]: r["simhash"] for r in sh.collect()}
     assert vals[1] == vals[2]  # identical text -> identical simhash
-    pairs = D.simhash_near_pairs(sh, "doc_id", max_hamming=16)
+    # max_hamming=16 needs n_chunks > 16 for the recall guarantee
+    pairs = D.simhash_near_pairs(sh, "doc_id", max_hamming=16, n_chunks=32)
     got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
     assert got[(1, 2)] == 0
     # near-dup 1-3 should be within a small distance; 1-4 should not pair at 16

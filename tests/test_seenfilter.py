@@ -1,10 +1,16 @@
-"""Bloom seen-prefilter: soundness (never drops a truly-new URL) and
-equivalence with the plain exact anti-join."""
+"""Bloom seen-prefilter: soundness (never drops a truly-new URL),
+equivalence with the plain exact anti-join, and per-bucket sizing."""
 
 import pytest
 from pyspark.sql import functions as F
 
-from newscrawler_spark.engine.seenfilter import BLOOM_DDL, SeenBloom, bloom_probe
+from newscrawler_spark.engine.seenfilter import (
+    BLOOM_DDL,
+    DEFAULT_M_BITS,
+    SeenBloom,
+    _m_for,
+    bloom_probe,
+)
 from newscrawler_spark.tablelib import Catalog
 
 SEEN_DDL = "url_hash long, bucket int"
@@ -15,7 +21,7 @@ def cat(tmp_path):
     return Catalog(str(tmp_path / "cat"))
 
 
-def _mk(spark, cat, m_bits=1 << 14):
+def _mk(spark, cat):
     seen = cat.table("seen", SEEN_DDL)
     seen.append(
         spark.range(0, 5000).select(
@@ -23,9 +29,7 @@ def _mk(spark, cat, m_bits=1 << 14):
             F.pmod(F.xxhash64("id"), F.lit(8)).cast("int").alias("bucket"),
         )
     )
-    bloom = SeenBloom(
-        cat.table("seen_bloom", BLOOM_DDL, partitioned=False), m_bits=m_bits
-    )
+    bloom = SeenBloom(cat.table("seen_bloom", BLOOM_DDL, partitioned=False))
     bloom.rebuild_buckets(spark, seen, list(range(8)))
     return seen, bloom
 
@@ -50,11 +54,11 @@ def test_split_new_equals_exact_anti_join(spark, cat):
 
 def test_bloom_has_no_false_negatives(spark, cat):
     seen, bloom = _mk(spark, cat)
-    blooms = bloom.table.read(spark).select("bucket", "words")
+    blooms = bloom.table.read(spark).select("bucket", "words", "m")
     probed = (
         seen.read(spark)
         .join(blooms, on="bucket")
-        .filter(~bloom_probe(F.col("words"), F.col("url_hash"), bloom.m))
+        .filter(~bloom_probe(F.col("words"), F.col("url_hash"), F.col("m")))
     )
     assert probed.count() == 0  # every seen hash is flagged maybe-seen
 
@@ -66,13 +70,41 @@ def test_bloom_filters_most_new_keys(spark, cat):
         F.xxhash64("id").alias("url_hash"),
         F.pmod(F.xxhash64("id"), F.lit(8)).cast("int").alias("bucket"),
     )
-    blooms = bloom.table.read(spark).select("bucket", "words")
+    blooms = bloom.table.read(spark).select("bucket", "words", "m")
     hits = (
         fresh.join(F.broadcast(blooms), on="bucket")
-        .filter(bloom_probe(F.col("words"), F.col("url_hash"), bloom.m))
+        .filter(bloom_probe(F.col("words"), F.col("url_hash"), F.col("m")))
         .count()
     )
-    assert hits / 10_000 < 0.25  # m=2^14, ~625 keys/bucket -> low fpp
+    assert hits / 10_000 < 0.05  # sized m keeps fpp low
+
+
+def test_bloom_sized_from_item_count_keeps_fpp_low_at_1m_keys(spark, cat):
+    """VERDICT r01 perf #3: a bucket with 10^6 keys must get a larger bitmap
+    (not the 2^17-bit floor, which would saturate) and keep fpp < 5%."""
+    n = 1_000_000
+    seen = cat.table("seen", SEEN_DDL)
+    seen.append(
+        spark.range(0, n).select(
+            F.xxhash64("id").alias("url_hash"),
+            F.lit(0).cast("int").alias("bucket"),
+        )
+    )
+    bloom = SeenBloom(cat.table("seen_bloom", BLOOM_DDL, partitioned=False))
+    bloom.rebuild_buckets(spark, seen, [0])
+    row = bloom.table.read(spark).first()
+    assert row["n_items"] == n
+    assert row["m"] == _m_for(n) > DEFAULT_M_BITS
+    fresh = spark.range(10 * n, 10 * n + 100_000).select(
+        F.xxhash64("id").alias("url_hash"), F.lit(0).cast("int").alias("bucket")
+    )
+    blooms = bloom.table.read(spark).select("bucket", "words", "m")
+    fp = (
+        fresh.join(F.broadcast(blooms), on="bucket")
+        .filter(bloom_probe(F.col("words"), F.col("url_hash"), F.col("m")))
+        .count()
+    )
+    assert fp / 100_000 < 0.05, f"fpp {fp / 100_000:.3f}"
 
 
 def test_empty_bloom_falls_back_to_exact(spark, cat):

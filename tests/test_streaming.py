@@ -112,3 +112,31 @@ def test_windowed_fetch_metrics(spark, tmp_path):
     assert got[("a.com", 0)] == 2
     assert got[("a.com", 1)] == 1
     assert got[("b.com", 0)] == 1
+
+
+def test_stream_ingest_durable_and_bloom_safe(spark, small_cfg, tmp_path, seeds_dir):
+    """ADVICE r01: streamed seeds must (a) mark their buckets bloom-dirty so
+    stale blooms can't re-admit them, and (b) be checkpointed so a resume
+    does not roll the frontier/seen pointers back past the appends."""
+    eng = CrawlEngine(spark, str(tmp_path / "cat"), small_cfg)
+    # simulate an engine with built blooms + an existing checkpoint
+    eng.bootstrap(
+        datagen.gen_seeds_spark(spark, 50, small_cfg.seed, small_cfg.n_hosts)
+    )
+    assert not eng._bloom_dirty
+    q = DS.stream_seed_ingest(spark, str(seeds_dir / "*"), eng, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    n_frontier = eng.frontier.read(spark).count()
+    n_seen = eng.seen.read(spark).count()
+    assert eng._bloom_dirty, "streamed buckets not marked stale"
+    ck = eng.catalog.last_checkpoint()
+    assert ck["snapshots"]["frontier"] == eng.frontier.current_snapshot_id()
+    assert ck["snapshots"]["seen"] == eng.seen.current_snapshot_id()
+    assert set(ck["bloom_dirty"]) == eng._bloom_dirty
+
+    # process death + resume: streamed seeds survive
+    eng2 = CrawlEngine(spark, str(tmp_path / "cat"), small_cfg)
+    eng2.resume_epoch()
+    assert eng2.frontier.read(spark).count() == n_frontier
+    assert eng2.seen.read(spark).count() == n_seen
+    assert eng2._bloom_dirty == set(ck["bloom_dirty"])
