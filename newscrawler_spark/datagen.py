@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import datetime as dt
 import os
+from functools import lru_cache
 from typing import Iterator
 
 import numpy as np
@@ -67,7 +68,11 @@ SEEDS_SCHEMA = (
 # ------------------------------------------------------------------ hosts
 
 
+@lru_cache(maxsize=64)
 def _zipf_cdf(n_hosts: int) -> np.ndarray:
+    """Memoized: expand_links calls this once per fetched URL inside the
+    expand UDF — recomputing a 15k-element cumsum per call was a measured
+    serial drag on the drain. Callers only read the array."""
     w = 1.0 / np.power(np.arange(1, n_hosts + 1, dtype=np.float64), ZIPF_S)
     return np.cumsum(w / w.sum())
 
@@ -76,13 +81,16 @@ def host_name(rank: int) -> str:
     return f"host{rank:04d}.example{rank % 7}.com"
 
 
+@lru_cache(maxsize=64)
 def blocklist_hosts(seed: int, n_hosts: int) -> list[str]:
-    """~8 excluded hosts, always including a hot one (rank 1)."""
+    """~8 excluded hosts, always including a hot one (rank 1). Memoized —
+    expand_links consults it per blocklisted child link."""
     rng = np.random.default_rng((seed, 9))
     picks = {1} | {int(r) for r in rng.integers(2, max(3, n_hosts), size=7)}
     return sorted(host_name(r) for r in picks)
 
 
+@lru_cache(maxsize=64)
 def robots_denied_hosts(seed: int, n_hosts: int) -> list[str]:
     """Deterministic per-host robots.txt verdict: ~10% of hosts disallow.
 

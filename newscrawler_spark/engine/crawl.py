@@ -649,9 +649,27 @@ class CrawlEngine:
 
         pool = ThreadPoolExecutor(max_workers=6) if cfg.parallel_commit else None
         if pool:
-            f_store = pool.submit(store_task)
-            f_host = pool.submit(host_task)
-            f_order = pool.submit(order_task)
+            _t0_commit = _time.time()
+
+            def _timed_early(name, fn):
+                def run():
+                    t0 = _time.time()
+                    try:
+                        return fn()
+                    finally:
+                        if profile:
+                            print(
+                                f"[profile] commit task {name}: "
+                                f"{_time.time() - t0:.2f}s "
+                                f"(t+{t0 - _t0_commit:.2f})",
+                                flush=True,
+                            )
+
+                return run
+
+            f_store = pool.submit(_timed_early("store", store_task))
+            f_host = pool.submit(_timed_early("host", host_task))
+            f_order = pool.submit(_timed_early("order", order_task))
 
         # --- retries / dead letters (403/429 backoff re-queue, T4)
         failures = results.filter(F.col("status") != 200).select("url_hash", "status")
@@ -722,11 +740,15 @@ class CrawlEngine:
         # --- commit: frontier delete+insert, seen append (+ amortized bloom
         #     rebuild), lineage append — independent tables, same pool.
         def frontier_task():
+            # merge-on-read: the epoch's frontier update appends O(delta)
+            # rows + a tombstone key file instead of rewriting every touched
+            # bucket — at a 10^10-row frontier a COW rewrite per epoch is
+            # the commit-path bottleneck (measured ~15 s/epoch flat in the
+            # sandbox); tombstones are folded in by the periodic compact.
             inserts = retry_rows.unionByName(discovered)
             return self.frontier.merge_delta(
                 spark, batch.select("url_hash", "bucket"), inserts, "url_hash",
-                {"epoch": epoch},
-                touched=sorted(set(batch_buckets) | set(disc_buckets)),
+                {"epoch": epoch}, mode="mor",
             )
 
         def seen_bloom_task():
@@ -782,10 +804,22 @@ class CrawlEngine:
             )
             return self.fetch_log.append(log)
 
+        task_secs: dict[str, float] = {}
+
+        def timed(name, fn):
+            def run():
+                t0 = _time.time()
+                try:
+                    return fn()
+                finally:
+                    task_secs[name] = round(_time.time() - t0, 2)
+
+            return run
+
         if pool:
-            f_frontier = pool.submit(frontier_task)
-            f_seen = pool.submit(seen_bloom_task)
-            f_log = pool.submit(log_task)
+            f_frontier = pool.submit(timed("frontier", frontier_task))
+            f_seen = pool.submit(timed("seen+bloom", seen_bloom_task))
+            f_log = pool.submit(timed("log", log_task))
             store_id = f_store.result()
             host_id = f_host.result()
             order_id = f_order.result()
@@ -794,12 +828,14 @@ class CrawlEngine:
             log_id = f_log.result()
             pool.shutdown()
         else:
-            store_id = store_task()
-            host_id = host_task()
-            order_id = order_task()
-            frontier_id = frontier_task()
-            seen_id, bloom_id = seen_bloom_task()
-            log_id = log_task()
+            store_id = timed("store", store_task)()
+            host_id = timed("host", host_task)()
+            order_id = timed("order", order_task)()
+            frontier_id = timed("frontier", frontier_task)()
+            seen_id, bloom_id = timed("seen+bloom", seen_bloom_task)()
+            log_id = timed("log", log_task)()
+        if profile and task_secs:
+            print(f"[profile] commit tasks: {task_secs}", flush=True)
         mark("parallel_commit")
         self._checkpoint(
             epoch,
@@ -813,9 +849,12 @@ class CrawlEngine:
                 "crawl_order": order_id,
             },
         )
-        # bound read amplification on the append-only seen table
+        # bound read amplification on the append-only seen table and fold
+        # the frontier's MOR tombstones back into data files
         if self.seen.max_dirs_per_bucket() > 6:
             self.seen.compact(spark, {"epoch": epoch})
+        if self.frontier.max_dirs_per_bucket() > 6:
+            self.frontier.compact(spark, {"epoch": epoch})
 
         # advance the driver-side frontier size estimate (exact: the epoch
         # removed the batch and re-inserted retries + discoveries)
@@ -824,6 +863,8 @@ class CrawlEngine:
 
         if profile:
             print(f"[profile] epoch {epoch}: " + ", ".join(f"{n}={s}s" for n, s in marks), flush=True)
+        from .. import tablelib as _tl
+
         stats = {
             "epoch": epoch,
             "fetched": int(n_batch),
@@ -831,6 +872,10 @@ class CrawlEngine:
             "stored": int(n_stored_total),
             "discovered": int(n_discovered),
             "dead": int(n_dead),
+            # driver-resident commit-protocol time this epoch (manifest
+            # fsyncs + pointer flips + checkpoint) — the non-distributable
+            # part of the commit path; design target < 1 s
+            "driver_commit_s": round(_tl.take_driver_commit_seconds(), 3),
             "done": False,
         }
         batch.unpersist()

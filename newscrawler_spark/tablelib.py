@@ -40,6 +40,8 @@ import json
 import os
 import shutil
 import tempfile
+import threading
+import time
 import uuid
 from dataclasses import dataclass, field
 from typing import Any
@@ -51,7 +53,26 @@ BUCKET_COL = "bucket"
 _PB = "pbucket"
 
 
+# Driver-resident commit accounting: time spent in the commit PROTOCOL
+# itself (manifest serialization, fsync, pointer flip, checkpoint file) —
+# the part of a commit that cannot be distributed. Everything else in a
+# table commit is ordinary Spark job time that scales with executors. The
+# crawl engine reports this per epoch; the design target is sub-second.
+_driver_commit_ns = 0
+_driver_commit_lock = threading.Lock()
+
+
+def take_driver_commit_seconds() -> float:
+    """Return accumulated driver-resident commit seconds and reset."""
+    global _driver_commit_ns
+    with _driver_commit_lock:
+        ns, _driver_commit_ns = _driver_commit_ns, 0
+    return ns / 1e9
+
+
 def _atomic_write(path: str, content: str) -> None:
+    global _driver_commit_ns
+    t0 = time.perf_counter_ns()
     d = os.path.dirname(path)
     fd, tmp = tempfile.mkstemp(dir=d, prefix=".tmp-")
     try:
@@ -63,6 +84,8 @@ def _atomic_write(path: str, content: str) -> None:
     finally:
         if os.path.exists(tmp):
             os.unlink(tmp)
+        with _driver_commit_lock:
+            _driver_commit_ns += time.perf_counter_ns() - t0
 
 
 @dataclass
@@ -72,6 +95,12 @@ class Snapshot:
     operation: str
     entries: dict[str, list[str]]  # bucket (as str) -> relative data dirs
     summary: dict[str, Any] = field(default_factory=dict)
+    # merge-on-read state (Iceberg equality-delete analog): tombstone key
+    # dirs per bucket + a sequence number per dir. A data row survives iff
+    # its dir's seq >= the max tombstone seq for its key (same-commit
+    # insert beats same-commit delete = MERGE delete-then-insert).
+    deletes: dict[str, list[str]] = field(default_factory=dict)
+    dir_seq: dict[str, int] = field(default_factory=dict)
 
     def to_json(self) -> str:
         return json.dumps(
@@ -81,6 +110,8 @@ class Snapshot:
                 "operation": self.operation,
                 "entries": self.entries,
                 "summary": self.summary,
+                "deletes": self.deletes,
+                "dir_seq": self.dir_seq,
             },
             sort_keys=True,
         )
@@ -89,7 +120,8 @@ class Snapshot:
     def from_json(s: str) -> "Snapshot":
         d = json.loads(s)
         return Snapshot(
-            d["snapshot_id"], d["parent_id"], d["operation"], d["entries"], d["summary"]
+            d["snapshot_id"], d["parent_id"], d["operation"], d["entries"],
+            d["summary"], d.get("deletes", {}), d.get("dir_seq", {}),
         )
 
 
@@ -148,6 +180,14 @@ class SnapshotTable:
 
     # ------------------------------------------------------------- reading
 
+    def _selected(self, snap: Snapshot, table: dict, buckets) -> list[str]:
+        out: list[str] = []
+        for b, dirs in table.items():
+            if buckets is not None and self.partitioned and int(b) not in buckets:
+                continue  # manifest-level partition pruning
+            out.extend(dirs)
+        return out
+
     def read(
         self,
         spark: SparkSession,
@@ -155,12 +195,8 @@ class SnapshotTable:
         buckets: list[int] | None = None,
     ) -> DataFrame:
         snap = self.snapshot(snapshot_id)
-        paths: list[str] = []
-        for b, dirs in snap.entries.items():
-            if buckets is not None and self.partitioned and int(b) not in buckets:
-                continue  # manifest-level partition pruning
-            paths.extend(os.path.join(self.dir, d) for d in dirs)
-        if not paths:
+        rel_dirs = self._selected(snap, snap.entries, buckets)
+        if not rel_dirs:
             if self.schema_ddl:
                 return spark.createDataFrame([], self.schema_ddl)
             raise ValueError(f"{self.name}: empty table and no schema_ddl to infer")
@@ -168,7 +204,40 @@ class SnapshotTable:
         if self.schema_ddl:
             # explicit schema: no per-file footer schema merge on wide reads
             reader = reader.schema(self.schema_ddl)
-        return reader.parquet(*paths)
+        tomb_dirs = self._selected(snap, snap.deletes, buckets)
+        if not tomb_dirs:
+            return reader.parquet(*(os.path.join(self.dir, d) for d in rel_dirs))
+        # merge-on-read: apply equality tombstones at scan time. Data dirs
+        # are grouped by commit sequence (few groups — compaction bounds
+        # them), tombstones aggregated to max seq per key; a row survives
+        # iff its seq >= that (same-commit re-insert wins over the delete).
+        key = snap.summary.get("mor_key")
+        if not key:
+            raise ValueError(f"{self.name}: tombstones present but no mor_key")
+        by_seq: dict[int, list[str]] = {}
+        for d in rel_dirs:
+            by_seq.setdefault(snap.dir_seq.get(d, 0), []).append(d)
+        data = None
+        for seq, dirs in sorted(by_seq.items()):
+            part = reader.parquet(
+                *(os.path.join(self.dir, d) for d in dirs)
+            ).withColumn("_seq", F.lit(seq))
+            data = part if data is None else data.unionByName(part)
+        tby_seq: dict[int, list[str]] = {}
+        for d in tomb_dirs:
+            tby_seq.setdefault(snap.dir_seq.get(d, 0), []).append(d)
+        tombs = None
+        for seq, dirs in sorted(tby_seq.items()):
+            part = spark.read.parquet(
+                *(os.path.join(self.dir, d) for d in dirs)
+            ).select(key, F.lit(seq).alias("_seq"))
+            tombs = part if tombs is None else tombs.unionByName(part)
+        tomb_agg = tombs.groupBy(key).agg(F.max("_seq").alias("_tmax"))
+        return (
+            data.join(tomb_agg, on=key, how="left")
+            .filter(F.col("_tmax").isNull() | (F.col("_seq") >= F.col("_tmax")))
+            .drop("_seq", "_tmax")
+        )
 
     def is_empty(self, snapshot_id: int | None = None) -> bool:
         return not self.snapshot(snapshot_id).entries
@@ -199,27 +268,51 @@ class SnapshotTable:
                 entries[b] = [os.path.join(rel, child)]
         return entries
 
+    def next_sid(self) -> int:
+        return max(self.history()) + 1
+
     def _commit(
         self,
         entries: dict[str, list[str]],
         op: str,
         summary: dict[str, Any],
         set_pointer: bool = True,
+        deletes: dict[str, list[str]] | None = None,
+        dir_seq: dict[str, int] | None = None,
     ) -> int:
+        parent_snap = self.snapshot()
         parent = self.current_snapshot_id()
-        sid = max(self.history()) + 1
-        snap = Snapshot(sid, parent, op, entries, summary)
+        sid = self.next_sid()
+        # mor_key is sticky: once a table has had MOR commits, readers of
+        # later append snapshots still need it to interpret tombstones
+        if "mor_key" not in summary and parent_snap.summary.get("mor_key"):
+            summary = {**summary, "mor_key": parent_snap.summary["mor_key"]}
+        deletes = deletes if deletes is not None else {}
+        dir_seq = dir_seq if dir_seq is not None else {}
+        live = {d for dirs in entries.values() for d in dirs} | {
+            d for dirs in deletes.values() for d in dirs
+        }
+        dir_seq = {d: s for d, s in dir_seq.items() if d in live}
+        snap = Snapshot(sid, parent, op, entries, summary, deletes, dir_seq)
         self._write_manifest(snap)
         if set_pointer:
             self.set_current(sid)
         return sid
 
     def append(self, df: DataFrame, summary: dict | None = None, set_pointer: bool = True) -> int:
+        sid = self.next_sid()
+        cur = self.snapshot()
         new = self._write_data(df, "append")
-        merged = {b: list(dirs) for b, dirs in self.snapshot().entries.items()}
+        merged = {b: list(dirs) for b, dirs in cur.entries.items()}
+        dir_seq = dict(cur.dir_seq)
         for b, dirs in new.items():
             merged.setdefault(b, []).extend(dirs)
-        return self._commit(merged, "append", summary or {}, set_pointer)
+            for d in dirs:
+                dir_seq[d] = sid
+        return self._commit(
+            merged, "append", summary or {}, set_pointer,
+            deletes={b: list(d) for b, d in cur.deletes.items()}, dir_seq=dir_seq,
+        )
 
     def overwrite(self, df: DataFrame, summary: dict | None = None, set_pointer: bool = True) -> int:
         new = self._write_data(df, "overwrite")
@@ -263,7 +356,11 @@ class SnapshotTable:
         delta = delta.cache()
         if touched is None:
             touched = [r[0] for r in delta.select(BUCKET_COL).distinct().collect()]
-        entries = {b: list(d) for b, d in self.snapshot().entries.items()}
+        cur = self.snapshot()
+        sid = self.next_sid()
+        entries = {b: list(d) for b, d in cur.entries.items()}
+        deletes = {b: list(d) for b, d in cur.deletes.items()}
+        dir_seq = dict(cur.dir_seq)
         have = [b for b in touched if str(b) in entries]
         if have:
             current = self.read(spark, buckets=have)
@@ -280,11 +377,17 @@ class SnapshotTable:
         new_entries = self._write_data(out, "merge")
         for b in touched:
             entries[str(b)] = []
+            deletes.pop(str(b), None)  # COW rewrite folds tombstones in
         for b, dirs in new_entries.items():
             entries[b] = dirs
+            for d in dirs:
+                dir_seq[d] = sid
         entries = {b: d for b, d in entries.items() if d}
         delta.unpersist()
-        return self._commit(entries, "merge", summary or {}, set_pointer)
+        return self._commit(
+            entries, "merge", summary or {}, set_pointer,
+            deletes=deletes, dir_seq=dir_seq,
+        )
 
     @staticmethod
     def _apply_preserve(
@@ -307,15 +410,27 @@ class SnapshotTable:
         summary: dict | None = None,
         set_pointer: bool = True,
         touched: list[int] | None = None,
+        mode: str = "cow",
     ) -> int:
         """MERGE with WHEN MATCHED DELETE + NOT MATCHED INSERT semantics.
 
         The frontier's per-epoch update (drop fetched rows, add retries +
-        discoveries) in one partition-level COW commit. ``delete_keys``
-        needs (key, bucket); ``inserts`` is full-schema rows. Only buckets
-        touched by either side are rewritten. Pass ``touched`` when the
-        caller already knows the union of affected buckets.
+        discoveries). Two physical strategies:
+
+        - ``mode="cow"``: partition-level copy-on-write — buckets touched by
+          either side are rewritten. O(touched-bucket rows) per commit.
+        - ``mode="mor"``: merge-on-read (Iceberg equality-delete analog) —
+          the commit APPENDS the insert rows and a tombstone key file;
+          nothing is rewritten, so the commit is O(epoch delta) even when
+          the table holds 10^10 rows. Readers anti-join the accumulated
+          tombstones (seq-aware: a same-commit re-insert of a deleted key
+          survives, matching MERGE delete-then-insert). ``compact()`` folds
+          tombstones back into data files.
         """
+        if mode == "mor":
+            return self._merge_delta_mor(
+                spark, delete_keys, inserts, key, summary or {}, set_pointer
+            )
         entries = {b: list(d) for b, d in self.snapshot().entries.items()}
         if touched is None:
             touched = set()
@@ -351,15 +466,57 @@ class SnapshotTable:
         for p in parts[1:]:
             out = out.unionByName(p)
         new_entries = self._write_data(out, "mergedelta")
+        cur = self.snapshot()
+        sid = self.next_sid()
+        deletes = {b: list(d) for b, d in cur.deletes.items()}
+        dir_seq = dict(cur.dir_seq)
         for b in touched:
             entries.pop(str(b), None)
+            deletes.pop(str(b), None)  # COW rewrite folds tombstones in
         for b, dirs in new_entries.items():
             entries[b] = dirs
+            for d in dirs:
+                dir_seq[d] = sid
         if delete_keys is not None:
             delete_keys.unpersist()
         if inserts is not None:
             inserts.unpersist()
-        return self._commit(entries, "mergedelta", summary or {}, set_pointer)
+        return self._commit(
+            entries, "mergedelta", summary or {}, set_pointer,
+            deletes=deletes, dir_seq=dir_seq,
+        )
+
+    def _merge_delta_mor(
+        self,
+        spark: SparkSession,
+        delete_keys: DataFrame | None,
+        inserts: DataFrame | None,
+        key: str,
+        summary: dict,
+        set_pointer: bool,
+    ) -> int:
+        cur = self.snapshot()
+        sid = self.next_sid()
+        entries = {b: list(d) for b, d in cur.entries.items()}
+        deletes = {b: list(d) for b, d in cur.deletes.items()}
+        dir_seq = dict(cur.dir_seq)
+        if inserts is not None:
+            new = self._write_data(inserts, "morinsert")
+            for b, dirs in new.items():
+                entries.setdefault(b, []).extend(dirs)
+                for d in dirs:
+                    dir_seq[d] = sid
+        if delete_keys is not None:
+            tomb = self._write_data(delete_keys.select(key, BUCKET_COL), "mordelete")
+            for b, dirs in tomb.items():
+                deletes.setdefault(b, []).extend(dirs)
+                for d in dirs:
+                    dir_seq[d] = sid
+        summary = {**summary, "mor_key": key}
+        return self._commit(
+            entries, "mordelta", summary, set_pointer,
+            deletes=deletes, dir_seq=dir_seq,
+        )
 
     def delete_where(
         self, spark: SparkSession, condition: str, summary: dict | None = None
@@ -373,7 +530,9 @@ class SnapshotTable:
 
     def max_dirs_per_bucket(self) -> int:
         snap = self.snapshot()
-        return max((len(d) for d in snap.entries.values()), default=0)
+        data = max((len(d) for d in snap.entries.values()), default=0)
+        tomb = max((len(d) for d in snap.deletes.values()), default=0)
+        return max(data, tomb)
 
     def compact(self, spark: SparkSession, summary: dict | None = None) -> int:
         """Rewrite the table so each bucket is one data dir (Iceberg
@@ -389,9 +548,11 @@ class SnapshotTable:
         keep = set(hist[-keep_last:]) | {self.current_snapshot_id()}
         live_dirs: set[str] = set()
         for sid in keep:
-            for dirs in self.snapshot(sid).entries.values():
-                for d in dirs:
-                    live_dirs.add(d.split(os.sep)[1])  # snap-... component
+            snap = self.snapshot(sid)
+            for table in (snap.entries, snap.deletes):
+                for dirs in table.values():
+                    for d in dirs:
+                        live_dirs.add(d.split(os.sep)[1])  # snap-... component
         data_root = os.path.join(self.dir, "data")
         for child in os.listdir(data_root):
             if child not in live_dirs:

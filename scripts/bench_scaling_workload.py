@@ -53,8 +53,11 @@ def run_level(cores: int) -> dict:
         boot = time.time() - tb
         t0 = time.time()
         fetched = 0
+        driver_commit = 0.0
         for e in range(WORKLOAD["epochs"]):
-            fetched += eng.run_epoch(e)["fetched"]
+            st = eng.run_epoch(e)
+            fetched += st["fetched"]
+            driver_commit += st.get("driver_commit_s", 0.0)
         wall = time.time() - t0
         return {
             "cores": cores,
@@ -62,6 +65,7 @@ def run_level(cores: int) -> dict:
             "wall_sec": round(wall, 2),
             "urls": fetched,
             "urls_per_sec": round(fetched / wall, 2),
+            "driver_commit_sec": round(driver_commit, 3),
         }
     finally:
         spark.stop()

@@ -251,3 +251,26 @@ def test_minhash_md5_dedup_matches_xxhash_semantics(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = sorted(r["doc_id"] for r in D.minhash_md5_dedup(df, "doc_id", "text").collect())
     assert out == [1, 3]
+
+
+def test_frame_sample_real_qvid_container(spark):
+    """Video frame sampling is real for the owned QVID container: every Nth
+    frame decoded, per-frame features computed; external containers (mp4)
+    pass through the codec seam with zero frames, never an exception."""
+    rng = np.random.default_rng(3)
+    vids = []
+    expected = {}
+    for v in range(3):
+        frames = [rng.integers(0, 256, size=(16, 16, 3)).astype("uint8") for _ in range(7)]
+        vids.append((f"vid-{v}", MM.encode_qvid(frames), "qvid"))
+        expected[f"vid-{v}"] = {
+            idx: codecs.average_phash(frames[idx]) for idx in (0, 3, 6)
+        }
+    vids.append(("vid-x", b"\x00\x01\x02", "mp4"))  # external codec seam
+    df = spark.createDataFrame(vids, "video_id string, bytes binary, fmt string")
+    out = MM.frame_sample(df, every_n=3).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["video_id"], {})[r["frame_idx"]] = r["phash"]
+        assert (r["w"], r["h"]) == (16, 16)
+    assert got == expected  # 3 sampled frames per qvid video, none for mp4

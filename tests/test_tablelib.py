@@ -134,3 +134,61 @@ def test_two_tables_merge_independence(spark, cat):
         .collect()
     )
     assert [r["k"] for r in page] == [1]  # desc order: tr-e (k=5) first, offset skips it
+
+
+def test_merge_delta_mor_basic_and_timetravel(spark, cat):
+    """MOR deletes: commit appends tombstones, read applies them; time
+    travel to the pre-delete snapshot still sees the full table."""
+    t = cat.table("mor", DDL)
+    t.append(_df(spark, [(1, 0, "a"), (2, 1, "b"), (3, 0, "c")]))
+    pre = t.current_snapshot_id()
+    t.merge_delta(
+        spark,
+        _df(spark, [(2, 1, "x")]).select("k", "bucket"),
+        None,
+        "k",
+        mode="mor",
+    )
+    assert {r["k"] for r in t.read(spark).collect()} == {1, 3}
+    assert {r["k"] for r in t.read(spark, snapshot_id=pre).collect()} == {1, 2, 3}
+    # bucket pruning still works under MOR
+    assert {r["k"] for r in t.read(spark, buckets=[0]).collect()} == {1, 3}
+
+
+def test_merge_delta_mor_delete_then_reinsert_same_commit(spark, cat):
+    """The retry pattern: one commit deletes the fetched keys AND re-inserts
+    some of them (with new values) — the re-inserted rows must survive."""
+    t = cat.table("mor2", DDL)
+    t.append(_df(spark, [(1, 0, "a"), (2, 1, "b"), (3, 2, "c")]))
+    t.merge_delta(
+        spark,
+        _df(spark, [(1, 0, "_"), (2, 1, "_")]).select("k", "bucket"),
+        _df(spark, [(1, 0, "a-retry")]),
+        "k",
+        mode="mor",
+    )
+    got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert got == {1: "a-retry", 3: "c"}
+    # a later delete of the re-inserted key wins again
+    t.merge_delta(
+        spark, _df(spark, [(1, 0, "_")]).select("k", "bucket"), None, "k", mode="mor"
+    )
+    assert {r["k"] for r in t.read(spark).collect()} == {3}
+
+
+def test_mor_compact_folds_tombstones(spark, cat):
+    t = cat.table("mor3", DDL)
+    t.append(_df(spark, [(i, i % 4, f"v{i}") for i in range(20)]))
+    t.merge_delta(
+        spark,
+        _df(spark, [(i, i % 4, "_") for i in range(0, 20, 2)]).select("k", "bucket"),
+        _df(spark, [(100, 0, "new")]),
+        "k",
+        mode="mor",
+    )
+    before = {r["k"] for r in t.read(spark).collect()}
+    assert before == set(range(1, 20, 2)) | {100}
+    t.compact(spark)
+    snap = t.snapshot()
+    assert not snap.deletes  # tombstones folded into data files
+    assert {r["k"] for r in t.read(spark).collect()} == before
