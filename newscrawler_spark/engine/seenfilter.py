@@ -142,6 +142,88 @@ class SeenBloom:
         )
         return self.table.merge_upsert(spark, dense, "bucket", set_pointer=True)
 
+    def add_keys(self, spark: SparkSession, delta: DataFrame) -> list[int]:
+        """Incrementally OR the delta keys into the per-bucket blooms.
+
+        Bloom bits are a pure OR over keys, so at unchanged m this produces
+        EXACTLY the bitmap a full rebuild would — without rescanning the
+        seen table: per-epoch bloom maintenance is O(epoch delta), which is
+        what survives a 10^10-key seen set. Buckets that have no bloom yet,
+        or whose key count has outgrown their bitmap (``_m_for`` target
+        exceeds current m), are NOT updated — they are returned for a full
+        resize-rebuild and must be treated as stale until then.
+        ``delta`` needs (url_hash, bucket) and should be this epoch's newly
+        appended keys only.
+        """
+        counts = {
+            r["bucket"]: int(r["n"])
+            for r in delta.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+        }
+        if not counts:
+            return []
+        meta = (
+            {}
+            if self.table.is_empty()
+            else {
+                r["bucket"]: (int(r["m"]), int(r["n_items"]))
+                for r in self.table.read(spark).select("bucket", "m", "n_items").collect()
+            }
+        )
+        resize = [
+            b
+            for b, c in counts.items()
+            if b not in meta or _m_for(meta[b][1] + c) > meta[b][0]
+        ]
+        ok = [b for b in counts if b not in set(resize)]
+        if not ok:
+            return sorted(resize)
+        mdf = spark.createDataFrame(
+            [(b, meta[b][0]) for b in ok], "bucket int, m int"
+        )
+        d2 = delta.join(F.broadcast(mdf), on="bucket")
+        pos = d2.select(
+            "bucket",
+            "m",
+            F.explode(F.array(*_positions(F.col("url_hash"), F.col("m")))).alias("pos"),
+        )
+        words = (
+            pos.select(
+                "bucket",
+                (F.col("pos") / 64).cast("int").alias("word_idx"),
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("long"), (F.col("pos") % 64).cast("int")
+                ).alias("bit"),
+            )
+            .groupBy("bucket", "word_idx")
+            .agg(F.bit_or("bit").alias("word"))
+        )
+        wm = words.groupBy("bucket").agg(
+            F.map_from_arrays(
+                F.collect_list("word_idx"), F.collect_list("word")
+            ).alias("wm")
+        )
+        old = self.table.read(spark).select("bucket", "words", "m", "n_items")
+        cdf = spark.createDataFrame(
+            [(b, counts[b]) for b in ok], "bucket int, n_new long"
+        )
+        merged = (
+            old.join(wm, on="bucket")
+            .join(F.broadcast(cdf), on="bucket")
+            .select(
+                "bucket",
+                F.transform(
+                    F.col("words"),
+                    lambda w, i: w.bitwiseOR(
+                        F.coalesce(F.element_at(F.col("wm"), i), F.lit(0).cast("long"))
+                    ),
+                ).alias("words"),
+                "m",
+                (F.col("n_items") + F.col("n_new")).alias("n_items"),
+            )
+        )
+        self.table.merge_upsert(spark, merged, "bucket", set_pointer=True)
+        return sorted(resize)
+
     def split_new(
         self,
         spark: SparkSession,

@@ -121,3 +121,56 @@ def test_empty_bloom_falls_back_to_exact(spark, cat):
     )
     out = bloom.split_new(spark, cand, seen)
     assert out.count() == 5
+
+
+def test_incremental_add_keys_bit_identical_to_rebuild(spark, cat):
+    """Bloom bits are an OR over keys: add_keys(delta) at unchanged m must
+    produce the exact bitmap of a full rebuild over base ∪ delta."""
+    seen = cat.table("seen", SEEN_DDL)
+    base = spark.range(0, 3000).select(
+        F.xxhash64("id").alias("url_hash"),
+        F.pmod(F.xxhash64("id"), F.lit(4)).cast("int").alias("bucket"),
+    )
+    seen.append(base)
+    inc = SeenBloom(cat.table("b_inc", BLOOM_DDL, partitioned=False))
+    inc.rebuild_buckets(spark, seen, [0, 1, 2, 3])
+    delta = spark.range(3000, 4000).select(
+        F.xxhash64("id").alias("url_hash"),
+        F.pmod(F.xxhash64("id"), F.lit(4)).cast("int").alias("bucket"),
+    )
+    seen.append(delta)
+    resize = inc.add_keys(spark, delta)
+    assert resize == []  # 4k keys still fit the floor-sized bitmap
+    full = SeenBloom(cat.table("b_full", BLOOM_DDL, partitioned=False))
+    full.rebuild_buckets(spark, seen, [0, 1, 2, 3])
+    a = {r["bucket"]: (r["words"], r["m"], r["n_items"]) for r in inc.table.read(spark).collect()}
+    b = {r["bucket"]: (r["words"], r["m"], r["n_items"]) for r in full.table.read(spark).collect()}
+    assert a == b
+
+
+def test_add_keys_flags_outgrown_buckets_for_resize(spark, cat):
+    """A delta that pushes a bucket past its bitmap's sizing target is not
+    OR-ed in silently — the bucket is returned for a resize-rebuild."""
+    from newscrawler_spark.engine import seenfilter as SF
+
+    seen = cat.table("seen", SEEN_DDL)
+    small = spark.range(0, 100).select(
+        F.xxhash64("id").alias("url_hash"), F.lit(0).cast("int").alias("bucket")
+    )
+    seen.append(small)
+    bloom = SeenBloom(cat.table("b", BLOOM_DDL, partitioned=False))
+    bloom.rebuild_buckets(spark, seen, [0])
+    m0 = bloom.table.read(spark).first()["m"]
+    assert m0 == SF.DEFAULT_M_BITS
+    # a delta big enough that _m_for(n) exceeds the floor bitmap
+    n_big = 40_000
+    big = spark.range(1000, 1000 + n_big).select(
+        F.xxhash64("id").alias("url_hash"), F.lit(0).cast("int").alias("bucket")
+    )
+    seen.append(big)
+    assert SF._m_for(100 + n_big) > m0
+    resize = bloom.add_keys(spark, big)
+    assert resize == [0]
+    bloom.rebuild_buckets(spark, seen, resize)
+    row = bloom.table.read(spark).first()
+    assert row["m"] == SF._m_for(100 + n_big) and row["n_items"] == 100 + n_big
