@@ -656,6 +656,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["category_discovery"] = q_category_discovery
 
+    def q_dedup_clusters(spark, sf):
+        """Transitive near-dup clusters: verified pair edges (md5 minhash
+        pipeline) -> iterative min-label connected components. Oracle is a
+        DuckDB recursive CTE over the identical edge set, so the iterative
+        Spark fixpoint is checked exactly (a~b, b~c must cluster a,b,c even
+        when a~c was never verified — single-link victims are not enough)."""
+        docs = _t(spark, sf, "documents")
+        edges = D.minhash_md5_pairs(docs, "doc_id", "text", threshold=0.8)
+        comp = D.connected_components(
+            docs.select("doc_id"), edges, id_col="doc_id"
+        )
+        return comp.select("doc_id", "comp")
+
+    q["dedup_clusters"] = q_dedup_clusters
+
     def q_decode_features(spark, sf):
         from newscrawler_spark import datagen
         from newscrawler_spark.functions import multimodal as MM
@@ -982,6 +997,47 @@ def oracle_sql() -> dict[str, str]:
           UNION ALL SELECT * FROM b2)
         SELECT event_id, v, version FROM m
         ORDER BY v DESC, event_id ASC LIMIT 20 OFFSET 10
+    """
+    o["dedup_clusters"] = f"""
+        WITH RECURSIVE toks AS (
+          SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents),
+        shg AS (
+          SELECT doc_id,
+                 list_distinct([array_to_string(t[i:i+2], ' ')
+                                FOR i IN range(1, greatest(len(t)-3, 0)+2)]) AS shingles
+          FROM toks),
+        ex AS (SELECT doc_id, unnest(shingles) AS s FROM shg),
+        sig AS (
+          SELECT doc_id,
+            min(md5('0:' || s)) AS h0, min(md5('1:' || s)) AS h1,
+            min(md5('2:' || s)) AS h2, min(md5('3:' || s)) AS h3,
+            min(md5('4:' || s)) AS h4, min(md5('5:' || s)) AS h5,
+            min(md5('6:' || s)) AS h6, min(md5('7:' || s)) AS h7
+          FROM ex GROUP BY doc_id),
+        bandtab AS (
+          SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS bkey FROM sig
+          UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM sig
+          UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM sig
+          UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM sig),
+        cand AS (
+          SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+          FROM bandtab l JOIN bandtab r
+            ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
+        ver AS (
+          SELECT c.id_a, c.id_b
+          FROM cand c
+          JOIN shg a ON a.doc_id = c.id_a
+          JOIN shg b ON b.doc_id = c.id_b
+          WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8),
+        sym AS (
+          SELECT id_a AS s, id_b AS d FROM ver
+          UNION ALL SELECT id_b, id_a FROM ver),
+        reach(id, r) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT sym.s, reach.r FROM sym JOIN reach ON sym.d = reach.id)
+        SELECT id AS doc_id, min(r) AS comp FROM reach GROUP BY id
     """
     o["category_discovery"] = """
         WITH s AS (SELECT DISTINCT source FROM documents),

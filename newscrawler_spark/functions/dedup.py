@@ -188,6 +188,56 @@ def minhash_dedup(
     return df.join(victims, on=id_col, how="left_anti")
 
 
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Min-label propagation connected components over undirected edges.
+
+    The iterative step the near-dup pipeline needs for TRANSITIVE duplicate
+    clusters (single-link victims alone are not closure-correct: a~b, b~c
+    must put a,b,c in one cluster even when a~c was never verified).
+
+    vertices: one column ``id_col``; edges: (id_a, id_b). Returns
+    (id_col, comp) where comp = min id reachable. Each iteration is one
+    join + partial-aggregated groupBy; labels only decrease, so the sum of
+    labels is a monotone convergence witness; ``localCheckpoint`` breaks
+    the lineage so plan size stays O(1) per iteration. Converges in
+    <= component-diameter iterations (dup clusters are shallow).
+    """
+    lab = vertices.select(F.col(id_col).alias("id"), F.col(id_col).alias("comp"))
+    sym = edges.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    lab = lab.localCheckpoint(eager=True)
+    prev_sum = lab.agg(F.sum("comp")).first()[0]
+    for _ in range(max_iter):
+        nb = (
+            sym.join(lab, sym.dst == lab.id)
+            .groupBy("src")
+            .agg(F.min("comp").alias("nb_comp"))
+        )
+        lab = (
+            lab.join(nb, lab.id == nb.src, "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce("nb_comp", F.col("comp"))).alias(
+                    "comp"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = lab.agg(F.sum("comp")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return lab.select(F.col("id").alias(id_col), "comp")
+
+
 def simhash60(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """60-bit SimHash with an md5-based token hash family.
 
@@ -218,7 +268,7 @@ def simhash60(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return g.select(id_col, expr.alias("simhash"))
 
 
-def minhash_md5_dedup(
+def minhash_md5_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
@@ -227,11 +277,10 @@ def minhash_md5_dedup(
     bands: int = 4,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """Near-dup dedup with an md5 hash family — the oracle-checkable twin of
-    :func:`minhash_dedup` (same shape: signature -> banded LSH -> exact
-    Jaccard verify -> lowest-id survivor; every hash is md5 so DuckDB can
-    reproduce the candidate set and the verdicts bit-identically).
-    """
+    """Verified near-dup pairs (id_a, id_b) with an md5 hash family — the
+    oracle-checkable edge set (signature -> banded LSH -> exact Jaccard
+    verify; every hash is md5 so DuckDB reproduces candidates and verdicts
+    bit-identically)."""
     rows = num_hashes // bands
     ex = df.select(
         F.col(id_col), F.explode(shingles_col(F.col(text_col), shingle_k)).alias("_s")
@@ -266,7 +315,22 @@ def minhash_md5_dedup(
         .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
         .distinct()
     )
-    dup = jaccard_pairs(df, id_col, text_col, cand, threshold, shingle_k)
+    return jaccard_pairs(df, id_col, text_col, cand, threshold, shingle_k).select(
+        "id_a", "id_b"
+    )
+
+
+def minhash_md5_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Lowest-id survivor per verified pair set — see minhash_md5_pairs."""
+    dup = minhash_md5_pairs(df, id_col, text_col, threshold, num_hashes, bands, shingle_k)
     victims = dup.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(victims, on=id_col, how="left_anti")
 

@@ -274,3 +274,15 @@ def test_frame_sample_real_qvid_container(spark):
         got.setdefault(r["video_id"], {})[r["frame_idx"]] = r["phash"]
         assert (r["w"], r["h"]) == (16, 16)
     assert got == expected  # 3 sampled frames per qvid video, none for mp4
+
+
+def test_connected_components_transitive_chain(spark):
+    """a-b, b-c, c-d (no shortcuts): all four must land in one component,
+    which single-link 'victims' logic cannot produce; isolated vertex keeps
+    its own label. Chain depth exercises multi-iteration convergence."""
+    verts = spark.createDataFrame([(i,) for i in range(1, 8)], "id long")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (6, 7)], "id_a long, id_b long"
+    )
+    comp = {r["id"]: r["comp"] for r in D.connected_components(verts, edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 6, 7: 6}
