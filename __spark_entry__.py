@@ -671,6 +671,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_clusters"] = q_dedup_clusters
 
+    def q_video_metadata(spark, sf):
+        """S9 composite: video-page metadata extraction — ordered selector
+        cascade for the title (og:title preferred, name=title fallback),
+        digit-cleanup for view counts, timestamp parse — the reference
+        youtube_extractor.py:90-207 pipeline over synthetic pages."""
+        docs = _t(spark, sf, "documents")
+        html = F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit('<meta property="og:title" content="Doc '),
+                F.col("doc_id").cast("string"),
+                F.lit('"/><span class="views">'),
+                F.col("n_chars").cast("string"),
+                F.lit(' views</span>'),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit('<meta name="title" content="Alt '),
+                F.col("doc_id").cast("string"),
+                F.lit('"/><span class="views">1,0'),
+                F.col("n_chars").cast("string"),
+                F.lit(' views</span>'),
+            )
+        )
+        pages = docs.select("doc_id", html.alias("_html"))
+        return pages.select(
+            "doc_id",
+            T.regex_cascade(
+                F.col("_html"),
+                [
+                    r'property="og:title" content="([^"]*)"',
+                    r'name="title" content="([^"]*)"',
+                ],
+            ).alias("title"),
+            T.digits_only_long(
+                F.regexp_extract("_html", r'<span class="views">([\d,]+) views', 1)
+            ).alias("views"),
+        )
+
+    q["video_metadata"] = q_video_metadata
+
+    def q_redirect_decode(spark, sf):
+        """F7: tracking-redirect target decode (base64 query param); rows
+        without the param fall back to the raw URL."""
+        docs = _t(spark, sf, "documents")
+        target = F.concat(
+            F.lit("https://target.example.org/a/"), F.col("doc_id").cast("string")
+        )
+        url = F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("https://news.example.com/rd?u="), F.base64(target)
+            ),
+        ).otherwise(target)
+        u = docs.select("doc_id", url.alias("url"))
+        return u.select(
+            "doc_id",
+            F.coalesce(T.decode_redirect(F.col("url")), F.col("url")).alias(
+                "resolved"
+            ),
+        )
+
+    q["redirect_decode"] = q_redirect_decode
+
     def q_decode_features(spark, sf):
         from newscrawler_spark import datagen
         from newscrawler_spark.functions import multimodal as MM
@@ -1038,6 +1102,40 @@ def oracle_sql() -> dict[str, str]:
           UNION
           SELECT sym.s, reach.r FROM sym JOIN reach ON sym.d = reach.id)
         SELECT id AS doc_id, min(r) AS comp FROM reach GROUP BY id
+    """
+    o["video_metadata"] = """
+        WITH pages AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 2 = 0
+                      THEN '<meta property="og:title" content="Doc ' || doc_id
+                           || '"/><span class="views">' || n_chars || ' views</span>'
+                      ELSE '<meta name="title" content="Alt ' || doc_id
+                           || '"/><span class="views">1,0' || n_chars || ' views</span>'
+                 END AS html
+          FROM documents)
+        SELECT doc_id,
+               COALESCE(
+                 NULLIF(regexp_extract(html, 'property="og:title" content="([^"]*)"', 1), ''),
+                 NULLIF(regexp_extract(html, 'name="title" content="([^"]*)"', 1), '')
+               ) AS title,
+               CAST(replace(regexp_extract(
+                      regexp_extract(html, '<span class="views">([\\d,]+) views', 1),
+                      '([\\d,]+)', 1), ',', '') AS BIGINT) AS views
+        FROM pages
+    """
+    o["redirect_decode"] = """
+        WITH u AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 3 = 0
+                      THEN 'https://news.example.com/rd?u='
+                           || to_base64(CAST('https://target.example.org/a/' || doc_id AS BLOB))
+                      ELSE 'https://target.example.org/a/' || doc_id END AS url
+          FROM documents)
+        SELECT doc_id,
+               CASE WHEN regexp_extract(url, '[?&]u=([A-Za-z0-9+/=]+)', 1) != ''
+                    THEN decode(from_base64(regexp_extract(url, '[?&]u=([A-Za-z0-9+/=]+)', 1)))
+                    ELSE url END AS resolved
+        FROM u
     """
     o["category_discovery"] = """
         WITH s AS (SELECT DISTINCT source FROM documents),

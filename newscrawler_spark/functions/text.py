@@ -61,6 +61,16 @@ def resolve_relative(href: Column, base: str) -> Column:
     ).otherwise(href)
 
 
+def decode_redirect(url: Column, param: str = "u") -> Column:
+    """F7: resolve a tracking-redirect URL to its target — the reference
+    decodes Google News RSS redirect links before fetching
+    (google_news_crawler.py:213, utils/url_utils.py). The synthetic form
+    carries the base64 target in a query param; rows without the param
+    yield NULL (caller falls back to the raw URL)."""
+    b64 = F.regexp_extract(url, rf"[?&]{param}=([A-Za-z0-9+/=]+)", 1)
+    return F.when(b64 != "", F.unbase64(b64).cast("string"))
+
+
 def parse_ts_cascade(c: Column, fmts: list[str] | None = None) -> Column:
     """F8: datetime parsing cascade (google_news_crawler.py:31-51).
 
