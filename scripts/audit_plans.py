@@ -119,6 +119,51 @@ def main() -> int:
     if not ok6:
         failures.append("fetch-python")
 
+    # 7. large-batch (cluster-scale) select path: NO TakeOrderedAndProject
+    # driver merge — quantile prefilter + executor-side exact rank; and the
+    # payload join must not broadcast the batch side.
+    import dataclasses
+
+    cfg_big = dataclasses.replace(cfg, distributed_batch_threshold=0)
+    eng_big = CrawlEngine(spark, root, cfg_big)  # same catalog, new config
+    big_batch = eng_big.select_batch(0)
+    p7 = plan_of(big_batch)
+    # What matters at 10^10 rows: (a) the global rank's input is the
+    # quantile-PREFILTERED candidate set (a Filter feeds the Window), never
+    # the raw frontier; (b) the result stays distributed — the plan tops
+    # out in an Exchange (repartition by bucket), not a driver collect.
+    # Spark's LimitPushDownThroughWindow may re-introduce a bounded
+    # TakeOrderedAndProject over the prefiltered set — harmless, its input
+    # is O(k), and asserting its absence would fight the optimizer.
+    head = p7.split("InMemoryTableScan")[0]  # the post-prefilter shape
+    ok7 = (
+        "Window" in head
+        and "Exchange" in head.splitlines()[2]  # top op under AdaptiveSparkPlan
+        and "Filter" in head
+    )
+    report.append(
+        f"## large-batch select: prefiltered executor-side rank, "
+        f"distributed result: {'OK' if ok7 else 'FAIL'}\n```\n{p7}\n```\n"
+    )
+    if not ok7:
+        failures.append("large-batch-select")
+
+    # 8. frontier MOR read: after a tombstone commit the scan applies the
+    # equality deletes via a join (no table rewrite happened), and the
+    # tombstone side is small enough to hash/broadcast-join.
+    eng.run_epoch(0)  # produces a MOR commit (tombstones + inserts)
+    assert eng.frontier.snapshot().deletes, "expected MOR tombstones"
+    p8 = plan_of(eng.frontier.read(spark))
+    ok8 = ("BroadcastHashJoin" in p8 or "SortMergeJoin" in p8) and (
+        "_tmax" in p8 or "max(_seq)" in p8
+    )
+    report.append(
+        f"## frontier merge-on-read scan (tombstone join applied): "
+        f"{'OK' if ok8 else 'FAIL'}\n```\n{p8}\n```\n"
+    )
+    if not ok8:
+        failures.append("mor-read")
+
     with open("PLANS.md", "w") as f:
         f.write("\n".join(report))
     print("audit:", "ALL OK" if not failures else f"FAILURES: {failures}")
