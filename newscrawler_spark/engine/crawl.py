@@ -853,11 +853,16 @@ class CrawlEngine:
             },
         )
         # bound read amplification on the append-only seen table and fold
-        # the frontier's MOR tombstones back into data files
+        # the frontier's MOR tombstones back into data files; after a
+        # compaction, GC manifests + unreferenced data dirs so a long drain
+        # doesn't grow disk without bound (the checkpointed snapshot is
+        # always in the kept window, so torn-epoch rollback still works)
         if self.seen.max_dirs_per_bucket() > 6:
             self.seen.compact(spark, {"epoch": epoch})
+            self.seen.expire_snapshots(keep_last=8)
         if self.frontier.max_dirs_per_bucket() > 6:
             self.frontier.compact(spark, {"epoch": epoch})
+            self.frontier.expire_snapshots(keep_last=8)
 
         # advance the driver-side frontier size estimate (exact: the epoch
         # removed the batch and re-inserted retries + discoveries)

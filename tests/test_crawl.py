@@ -305,3 +305,33 @@ def test_distributed_batch_path_equals_driver_topk(spark, small_cfg, tmp_path_fa
         for r in eb.crawl_order_with_seq().collect()
     )
     assert oa == ob and len(oa) > 0
+
+
+def test_long_drain_compaction_gc_and_resume(spark, seed_rows, small_cfg, tmp_path_factory):
+    """A longer drain triggers compaction + snapshot GC (expire) on the
+    seen/frontier tables; the drain stays engine ≡ oracle and remains
+    resumable afterwards (the checkpointed snapshot survives the GC)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(small_cfg, batch_size=25)
+    root = tmp_path_factory.mktemp("longdrain")
+    eng = _run_engine(spark, root, cfg, epochs=8)
+    # compaction must have fired at least once (dirs/bucket stays bounded)
+    assert eng.seen.max_dirs_per_bucket() <= 7
+    assert eng.frontier.max_dirs_per_bucket() <= 7
+
+    eng2 = CrawlEngine(spark, str(root), cfg)
+    start = eng2.resume_epoch()
+    assert start == 8
+    eng2.run_epoch(8)
+
+    orc = OracleCrawl(cfg)
+    orc.bootstrap(seed_rows)
+    for e in range(9):
+        orc.run_epoch(e)
+    eng_order = sorted(
+        (r["epoch"], r["seq"], r["url_hash"])
+        for r in eng2.crawl_order_with_seq().collect()
+    )
+    assert eng_order == sorted(orc.res.order)
+    assert {r["url_hash"] for r in eng2.seen.read(spark).collect()} == orc.res.seen
