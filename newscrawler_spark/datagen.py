@@ -228,20 +228,31 @@ def gen_seeds_spark(spark, n: int, seed: int = 42, n_hosts: int = 100):
 # ----------------------------------------------------------- link expansion
 
 
+_U64 = (1 << 64) - 1
+MAX_CHILDREN = 5
+
+
+def _expand_k0(seed: int) -> int:
+    return 11 + (seed & 0xFFFF)
+
+
 def expand_links(url_hash: int, seed: int, n_hosts: int, n_seed_urls: int) -> list[str]:
     """Deterministic discovered-URL expansion for a fetched page.
 
     Pure function of (url_hash, seed): ~30% of children point at existing
     seed URLs (already-seen pressure), ~2% at blocklisted hosts, the rest
-    are fresh hash-derived URLs. Both the engine's fetch UDF and the
-    sequential oracle call exactly this function.
+    are fresh hash-derived URLs. Every hash is a Spark-style chained
+    xxhash64 (``xxhash64(lit(k), col)`` ≡ ``xxh64(col, seed=xxh64(k))``),
+    so the ENGINE evaluates the whole expansion JVM-side (no Python in the
+    hot path, see CrawlEngine.expand_jvm) while this byte-identical Python
+    twin drives the sequential oracle.
     """
-    h0 = xxh64_long(url_hash, seed & 0x7FFFFFFF)
+    h0 = xxh64_long(url_hash, xxh64_long(_expand_k0(seed)) & _U64)
     n_out = (h0 & 0x7) % 6  # 0..5 children
     out: list[str] = []
     cdf = _zipf_cdf(n_hosts)
     for k in range(n_out):
-        hk = xxh64_long(h0, 1000 + k) & 0x7FFFFFFFFFFFFFFF
+        hk = xxh64_long(h0, xxh64_long(1000 + k) & _U64) & 0x7FFFFFFFFFFFFFFF
         sel = hk % 100
         if sel < 30 and n_seed_urls > 0:
             out.append(base_url(hk % n_seed_urls, seed, n_hosts, cdf))
@@ -252,6 +263,54 @@ def expand_links(url_hash: int, seed: int, n_hosts: int, n_seed_urls: int) -> li
             rank = int(np.searchsorted(cdf, (hk % 10_000) / 10_000.0)) + 1
             out.append(f"https://{host_name(rank)}/d/{hk % 1_000_000_007}")
     return out
+
+
+def seed_url_dim_spark(spark, n_seed_urls: int, seed: int = 42, n_hosts: int = 100):
+    """(idx long, seed_url string) — the seed-URL lookup table the JVM link
+    expansion joins for its already-seen children (base_url is numpy-RNG
+    derived, so it lives in a dim table rather than an expression)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cdf = _zipf_cdf(n_hosts)
+        for pdf in batches:
+            idx = pdf["id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "idx": idx,
+                    "seed_url": [base_url(int(i), seed, n_hosts, cdf) for i in idx],
+                }
+            )
+
+    parts = max(8, min(256, n_seed_urls // 2048 or 1))
+    return spark.range(0, n_seed_urls, numPartitions=parts).mapInPandas(
+        gen, "idx long, seed_url string"
+    )
+
+
+def permille_rank_rows(n_hosts: int) -> list[tuple[int, int]]:
+    """(p, rank) for p in 0..9999: the fresh-URL host-rank lookup —
+    rank = searchsorted(zipf_cdf, p/10000) + 1, precomputed once so the
+    expansion's Zipf draw is a broadcast-join instead of a Python call."""
+    cdf = _zipf_cdf(n_hosts)
+    ranks = np.searchsorted(cdf, np.arange(10_000) / 10_000.0) + 1
+    return [(int(p), int(r)) for p, r in enumerate(ranks)]
+
+
+def host_name_col(rank_col):
+    """JVM twin of :func:`host_name` (f'host{rank:04d}.example{rank%7}.com')."""
+    from pyspark.sql import functions as F
+
+    s = rank_col.cast("string")
+    # NB: Spark lpad TRUNCATES strings longer than the target length,
+    # python's {:04d} does not — guard for rank >= 10000
+    padded = F.when(F.length(s) < 4, F.lpad(s, 4, "0")).otherwise(s)
+    return F.concat(
+        F.lit("host"),
+        padded,
+        F.lit(".example"),
+        F.pmod(rank_col, F.lit(7)).cast("string"),
+        F.lit(".com"),
+    )
 
 
 # --------------------------------------------------------- fetch simulation

@@ -431,6 +431,84 @@ class CrawlEngine:
 
         return decode_udf
 
+    # ----------------------------------------------------------- expansion
+
+    def _seed_dim_df(self) -> DataFrame:
+        if getattr(self, "_seed_dim", None) is None:
+            self._seed_dim = datagen.seed_url_dim_spark(
+                self.spark, self.cfg.n_seed_urls, self.cfg.seed, self.cfg.n_hosts
+            ).cache()
+        return self._seed_dim
+
+    def _permille_df(self) -> DataFrame:
+        if getattr(self, "_permille", None) is None:
+            self._permille = self.spark.createDataFrame(
+                datagen.permille_rank_rows(self.cfg.n_hosts), "p int, rank int"
+            ).cache()
+        return self._permille
+
+    def expand_jvm(self, ok_hashes: DataFrame) -> DataFrame:
+        """Link expansion entirely JVM-side — the twin of
+        datagen.expand_links (the Python version drives the oracle only).
+
+        Every draw is a chained ``xxhash64(lit(k), col)`` expression; the
+        two non-expressible lookups (numpy-RNG seed URLs, the Zipf host
+        rank) become dim-table joins: seed_url_dim (the seed list — a real
+        table at 10^10 scale, auto-broadcast when small) and a 10k-row
+        permille→rank broadcast. No Python touches the hot path; the only
+        ArrowEvalPython in the whole epoch is the decode UDF.
+        """
+        cfg = self.cfg
+        e = ok_hashes.withColumn(
+            "h0",
+            F.xxhash64(F.lit(datagen._expand_k0(cfg.seed)).cast("long"), F.col("url_hash")),
+        )
+        e = e.withColumn("n_out", F.pmod(F.col("h0").bitwiseAND(F.lit(7)), F.lit(6)))
+        e = e.withColumn(
+            "k", F.explode(F.sequence(F.lit(0), F.lit(datagen.MAX_CHILDREN - 1)))
+        ).filter(F.col("k") < F.col("n_out"))
+        e = e.withColumn(
+            "hk",
+            F.xxhash64((F.col("k") + 1000).cast("long"), F.col("h0")).bitwiseAND(
+                F.lit(0x7FFFFFFFFFFFFFFF)
+            ),
+        ).withColumn("sel", F.pmod(F.col("hk"), F.lit(100)))
+        blocked = datagen.blocklist_hosts(cfg.seed, cfg.n_hosts)
+        barr = F.array(*[F.lit(h) for h in blocked])
+        seed_cond = (
+            (F.col("sel") < 30) if cfg.n_seed_urls > 0 else F.lit(False)
+        )
+        seed_part = (
+            e.filter(seed_cond)
+            .withColumn("idx", F.pmod(F.col("hk"), F.lit(cfg.n_seed_urls or 1)))
+            .join(self._seed_dim_df(), on="idx")
+            .select(F.col("seed_url").alias("url"))
+        )
+        blocked_part = e.filter(~seed_cond & (F.col("sel") < 32)).select(
+            F.concat(
+                F.lit("https://"),
+                F.element_at(
+                    barr, F.pmod(F.col("hk"), F.lit(len(blocked))).cast("int") + 1
+                ),
+                F.lit("/x/"),
+                F.pmod(F.col("hk"), F.lit(10_000)).cast("string"),
+            ).alias("url")
+        )
+        fresh_part = (
+            e.filter(F.col("sel") >= 32)
+            .withColumn("p", F.pmod(F.col("hk"), F.lit(10_000)).cast("int"))
+            .join(F.broadcast(self._permille_df()), on="p")
+            .select(
+                F.concat(
+                    F.lit("https://"),
+                    datagen.host_name_col(F.col("rank")),
+                    F.lit("/d/"),
+                    F.pmod(F.col("hk"), F.lit(1_000_000_007)).cast("string"),
+                ).alias("url")
+            )
+        )
+        return seed_part.unionByName(blocked_part).unionByName(fresh_part)
+
     RESULT_COLS = [
         "url_hash", "bucket", "host", "status", "retry_count",
         "image_id", "caption", "phash", "w", "h", "fmt",
@@ -686,19 +764,8 @@ class CrawlEngine:
 
         # --- link expansion -> canonicalize -> blocklist -> anti-join seen
         if cfg.expand:
-            seed, n_hosts, n_seeds = cfg.seed, cfg.n_hosts, cfg.n_seed_urls
-
-            @F.pandas_udf("array<string>")
-            def expand_udf(url_hash: pd.Series) -> pd.Series:
-                return url_hash.map(
-                    lambda h: datagen.expand_links(int(h), seed, n_hosts, n_seeds)
-                )
-
             ok_hashes = results.filter(F.col("status") == 200).select("url_hash")
-            disc = (
-                ok_hashes.withColumn("_out", expand_udf("url_hash"))
-                .select(F.explode("_out").alias("url"))
-            )
+            disc = self.expand_jvm(ok_hashes)
             disc = with_url_identity(disc, "url", cfg.bucket_count)
             disc = disc.join(F.broadcast(self._gated_hosts_df()), on="host", how="left_anti")
             wd = Window.partitionBy("url_hash").orderBy(F.col("url").asc())

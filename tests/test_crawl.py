@@ -335,3 +335,22 @@ def test_long_drain_compaction_gc_and_resume(spark, seed_rows, small_cfg, tmp_pa
     )
     assert eng_order == sorted(orc.res.order)
     assert {r["url_hash"] for r in eng2.seen.read(spark).collect()} == orc.res.seen
+
+
+def test_jvm_expansion_equals_python_twin(spark, small_cfg, tmp_path_factory):
+    """The JVM-side link expansion (hash-chain expressions + dim joins) must
+    emit exactly the URLs of the Python twin the oracle uses — per hash,
+    including multiplicity."""
+    from collections import Counter
+
+    eng = CrawlEngine(spark, str(tmp_path_factory.mktemp("jvmx")), small_cfg)
+    hashes = spark.range(0, 1500).select(F.xxhash64("id").alias("url_hash"))
+    jvm = Counter(r["url"] for r in eng.expand_jvm(hashes).collect())
+    py = Counter(
+        u
+        for r in hashes.collect()
+        for u in datagen.expand_links(
+            int(r["url_hash"]), small_cfg.seed, small_cfg.n_hosts, small_cfg.n_seed_urls
+        )
+    )
+    assert jvm == py and sum(jvm.values()) > 1000
