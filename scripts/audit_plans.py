@@ -164,6 +164,18 @@ def main() -> int:
     if not ok8:
         failures.append("mor-read")
 
+    # 9. link expansion is pure JVM: hash-chain expressions + dim joins,
+    # zero Python evals of any kind in its plan.
+    hashes = spark.range(0, 100).select(F.xxhash64("id").alias("url_hash"))
+    p9 = plan_of(eng.expand_jvm(hashes))
+    ok9 = "ArrowEvalPython" not in p9 and "BatchEvalPython" not in p9
+    report.append(
+        f"## link expansion: zero Python evals (hash chains + dim joins): "
+        f"{'OK' if ok9 else 'FAIL'}\n```\n{p9}\n```\n"
+    )
+    if not ok9:
+        failures.append("expand-python")
+
     with open("PLANS.md", "w") as f:
         f.write("\n".join(report))
     print("audit:", "ALL OK" if not failures else f"FAILURES: {failures}")
