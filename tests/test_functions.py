@@ -286,3 +286,29 @@ def test_connected_components_transitive_chain(spark):
     )
     comp = {r["id"]: r["comp"] for r in D.connected_components(verts, edges).collect()}
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 6, 7: 6}
+
+
+def test_ann_multiprobe_recall_dominates_single_probe(spark):
+    """Multi-probe (query bucket + hamming-1 neighbors) must recover at
+    least the single-probe candidates and strictly improve recall of
+    planted near neighbors that fall just across one hyperplane."""
+    rng = np.random.default_rng(17)
+    base = rng.standard_normal(16)
+    rows = [(0, [float(x) for x in base])]
+    for i in range(1, 120):
+        noise = 0.05 if i <= 20 else 2.5
+        v = base + rng.standard_normal(16) * noise
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    idx = SIM.ann_index(df, "embedding", bits=6).cache()
+    q = [float(x) for x in base]
+    single = {r["vec_id"] for r in SIM.ann_lsh_topk(df, "embedding", q, k=10, bits=6).collect()}
+    multi = {
+        r["vec_id"]
+        for r in SIM.ann_multiprobe_topk(idx, "embedding", q, k=10, bits=6).collect()
+    }
+    exact = {r["vec_id"] for r in SIM.cosine_topk(df, "embedding", q, k=10).collect()}
+    assert 0 in multi
+    # multi-probe recall of the true top-10 >= single-probe recall
+    assert len(multi & exact) >= len(single & exact)
+    assert len(multi & exact) >= 6  # and it actually finds most of them
