@@ -214,14 +214,13 @@ def connected_components(
         edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     )
     lab = lab.localCheckpoint(eager=True)
-    prev_sum = lab.agg(F.sum("comp")).first()[0]
     for _ in range(max_iter):
         nb = (
             sym.join(lab, sym.dst == lab.id)
             .groupBy("src")
             .agg(F.min("comp").alias("nb_comp"))
         )
-        lab = (
+        new_lab = (
             lab.join(nb, lab.id == nb.src, "left")
             .select(
                 "id",
@@ -231,10 +230,18 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        cur_sum = lab.agg(F.sum("comp")).first()[0]
-        if cur_sum == prev_sum:
+        # convergence witness: count of labels that actually changed —
+        # type-agnostic (works for string ids too, where a sum over labels
+        # would be NULL/illegal and could end the loop early and WRONG)
+        changed = (
+            new_lab.alias("n")
+            .join(lab.alias("o"), on="id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        lab = new_lab
+        if changed == 0:
             break
-        prev_sum = cur_sum
     return lab.select(F.col("id").alias(id_col), "comp")
 
 

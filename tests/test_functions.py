@@ -312,3 +312,13 @@ def test_ann_multiprobe_recall_dominates_single_probe(spark):
     # multi-probe recall of the true top-10 >= single-probe recall
     assert len(multi & exact) >= len(single & exact)
     assert len(multi & exact) >= 6  # and it actually finds most of them
+
+
+def test_connected_components_string_ids(spark):
+    """The convergence witness must be type-agnostic: string ids in a
+    3-chain converge to one component (a label-sum witness would silently
+    stop after one iteration here)."""
+    verts = spark.createDataFrame([("a",), ("b",), ("c",), ("z",)], "id string")
+    edges = spark.createDataFrame([("a", "b"), ("b", "c")], "id_a string, id_b string")
+    comp = {r["id"]: r["comp"] for r in D.connected_components(verts, edges).collect()}
+    assert comp == {"a": "a", "b": "a", "c": "a", "z": "z"}
