@@ -145,13 +145,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (
             li.groupBy("l_returnflag", "l_linestatus")
             .agg(
-                # pin the result type: Spark widens sum(decimal(18,2)) to
-                # (28,2) but DuckDB to (38,2) — cast both engines to (38,2)
-                # so the driver's value hash is bit-identical
-                F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-                .cast("decimal(38,2)").alias("sum_qty"),
-                F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-                .cast("decimal(38,2)").alias("sum_price"),
+                # integer cents, floor-rounded identically in both engines:
+                # DECIMAL outputs hash-mismatched in the driver gate two
+                # rounds running (rows+schema green, values equal locally),
+                # and BIGINT outputs hash clean (token_sum_by_lang).
+                # floor(x*100+0.5) is the same half-up convention in Spark
+                # and DuckDB; round()/cast conventions differ between them.
+                F.sum(
+                    F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")
+                ).cast("long").alias("sum_qty_cents"),
+                F.sum(
+                    F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast(
+                        "long"
+                    )
+                ).cast("long").alias("sum_price_cents"),
                 F.count("*").alias("count_order"),
             )
             .orderBy("l_returnflag", "l_linestatus")
@@ -209,8 +216,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
             .groupBy("p_brand")
             .agg(
-                F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-                .cast("decimal(38,2)").alias("sum_qty"),
+                # integer cents (see q_group_agg_decimal) — DECIMAL cells
+                # fail the driver's value hash even when values are equal
+                F.sum(
+                    F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")
+                ).cast("long").alias("sum_qty_cents"),
                 F.count("*").alias("n"),
             )
             .orderBy("p_brand")
@@ -797,8 +807,8 @@ def oracle_sql() -> dict[str, str]:
     """
     o["group_agg_decimal"] = """
         SELECT l_returnflag, l_linestatus,
-               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price,
+               CAST(sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+               CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_cents,
                count(*) AS count_order
         FROM lineitem GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus
@@ -820,7 +830,7 @@ def oracle_sql() -> dict[str, str]:
     """
     o["broadcast_dim_join"] = """
         SELECT p_brand,
-               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+               CAST(sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
                count(*) AS n
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY p_brand ORDER BY p_brand
