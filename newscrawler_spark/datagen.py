@@ -90,19 +90,51 @@ def blocklist_hosts(seed: int, n_hosts: int) -> list[str]:
     return sorted(host_name(r) for r in picks)
 
 
-@lru_cache(maxsize=64)
-def robots_denied_hosts(seed: int, n_hosts: int) -> list[str]:
+def _robots_k(seed: int) -> int:
+    return 13 + (seed & 0xFFFF)
+
+
+def robots_denied_rank(rank: int, seed: int) -> bool:
     """Deterministic per-host robots.txt verdict: ~10% of hosts disallow.
 
     Models the robots fetch a crawler performs on first host contact
-    (north rule "robots gate"); the verdict is a pure function of
-    (seed, host rank) so engine and oracle agree without a network. Rank 1
-    (the hot host) stays allowed so politeness skew pressure is preserved.
+    (north rule "robots gate"). The verdict is a chained Spark-style
+    xxhash64 of the host rank, so the ENGINE evaluates it as a pure JVM
+    column (:func:`robots_denied_col`) over ``spark.range`` — no
+    driver-materialized host list at the 10^8-host regime — while this
+    byte-identical Python twin drives the sequential oracle. Rank 1 (the
+    hot host) stays allowed so politeness skew pressure is preserved;
+    rank 2 is always denied so small-n test fixtures have a live gate.
     """
-    rng = np.random.default_rng((seed, 13))
-    k = max(2, n_hosts // 10)
-    picks = {int(r) for r in rng.integers(2, max(3, n_hosts + 1), size=k)}
-    return sorted(host_name(r) for r in picks)
+    if rank == 1:
+        return False
+    if rank == 2:
+        return True
+    h = xxh64_long(rank, xxh64_long(_robots_k(seed)) & _U64) & 0x7FFFFFFFFFFFFFFF
+    return h % 10 == 0
+
+
+def robots_denied_col(rank_col, seed: int):
+    """JVM twin of :func:`robots_denied_rank` (boolean Column over a host
+    rank column) — ``xxhash64(lit(k), rank) ≡ xxh64_long(rank, xxh64(k))``."""
+    from pyspark.sql import functions as F
+
+    h = F.xxhash64(
+        F.lit(_robots_k(seed)).cast("long"), rank_col.cast("long")
+    ).bitwiseAND(F.lit(0x7FFFFFFFFFFFFFFF))
+    return (rank_col == 2) | (
+        (rank_col > 2) & (F.pmod(h, F.lit(10)) == 0)
+    )
+
+
+@lru_cache(maxsize=64)
+def robots_denied_hosts(seed: int, n_hosts: int) -> list[str]:
+    """Materialized denied-host list — TEST/ORACLE SCALE ONLY (O(n_hosts)
+    driver work). The engine derives the same verdicts distributed via
+    :func:`robots_denied_col`."""
+    return sorted(
+        host_name(r) for r in range(1, n_hosts + 1) if robots_denied_rank(r, seed)
+    )
 
 
 # ----------------------------------------------------------------- payload

@@ -166,22 +166,39 @@ class CrawlEngine:
 
     # ---------------------------------------------------------- bootstrap
 
+    def _blocklist_df(self) -> DataFrame:
+        """The static excluded-domain list (reference url_utils.py:18-34) as
+        a tiny indexed broadcast dim — O(8) rows regardless of n_hosts (a
+        real blocklist is a bounded config file, the one fixture that may
+        legitimately ship from the driver). ``bi`` is the pick index for
+        expand_jvm's blocked-child draw."""
+        if getattr(self, "_blocklist", None) is None:
+            blocked = datagen.blocklist_hosts(self.cfg.seed, self.cfg.n_hosts)
+            self._blocklist = self.spark.createDataFrame(
+                list(enumerate(blocked)), "bi int, bhost string"
+            ).cache()
+        return self._blocklist
+
     def _gated_hosts_df(self) -> DataFrame:
         """Hosts a crawler must never enqueue: the static excluded-domain
         list (reference url_utils.py:18-34) plus robots.txt-disallowed hosts
         (verdict resolved deterministically at first contact, see
-        datagen.robots_denied_hosts). Broadcast dim for the admission
-        anti-join — at cluster scale this is the per-host robots cache.
-        Memoized: the inputs (seed, n_hosts) are fixed per engine."""
+        datagen.robots_denied_rank). Derived DISTRIBUTED — the denied set is
+        a JVM expression over spark.range, never a driver list, so the dim
+        scales to the 10^8-host regime (~10^7 rows there: the admission
+        anti-join is left unhinted so AQE broadcasts it while small and
+        shuffle-joins it when it isn't). At cluster scale this is the
+        per-host robots cache. Memoized: (seed, n_hosts) are fixed."""
         if getattr(self, "_gated_hosts", None) is None:
             cfg = self.cfg
-            gated = sorted(
-                set(datagen.blocklist_hosts(cfg.seed, cfg.n_hosts))
-                | set(datagen.robots_denied_hosts(cfg.seed, cfg.n_hosts))
+            denied = (
+                self.spark.range(1, cfg.n_hosts + 1)
+                .select(F.col("id").cast("int").alias("rank"))
+                .filter(datagen.robots_denied_col(F.col("rank"), cfg.seed))
+                .select(datagen.host_name_col(F.col("rank")).alias("host"))
             )
-            self._gated_hosts = self.spark.createDataFrame(
-                [(h,) for h in gated], "host string"
-            ).cache()
+            bl = self._blocklist_df().select(F.col("bhost").alias("host"))
+            self._gated_hosts = denied.unionByName(bl).distinct().cache()
         return self._gated_hosts
 
     def bootstrap(self, seeds: DataFrame) -> None:
@@ -196,7 +213,7 @@ class CrawlEngine:
         """
         cfg = self.cfg
         s = with_url_identity(seeds, "url", cfg.bucket_count)
-        s = s.join(F.broadcast(self._gated_hosts_df()), on="host", how="left_anti")
+        s = s.join(self._gated_hosts_df(), on="host", how="left_anti")
         w = Window.partitionBy("url_hash").orderBy(
             F.col("discovered_at").asc(), F.col("url").asc()
         )
@@ -211,23 +228,20 @@ class CrawlEngine:
         fid = self.frontier.overwrite(s, {"rows": "bootstrap"})
         sid = self.seen.overwrite(s.select("url_hash", "bucket"))
         # persist per-host robots verdicts (host_state is the robots cache).
-        # The host universe is generated DISTRIBUTED (spark.range + the JVM
-        # host-name expression) — only the denied/blocked deltas (~n/10
-        # rows, the verdict fixtures) ship from the driver, so this scales
-        # to the 10^8-host regime instead of materializing every host in
-        # driver memory.
-        denied = datagen.robots_denied_hosts(cfg.seed, cfg.n_hosts)
-        blocked = datagen.blocklist_hosts(cfg.seed, cfg.n_hosts)
-        bl = self.spark.createDataFrame([(h,) for h in blocked], "host string")
-        dn = self.spark.createDataFrame(
-            [(h,) for h in denied], "host string"
-        ).withColumn("_denied", F.lit(True))
+        # Fully DISTRIBUTED: host universe from spark.range + the JVM
+        # host-name expression, verdicts from the JVM robots_denied_col
+        # twin — NOTHING host-shaped ships from the driver (the only
+        # createDataFrame is the O(8) blocklist config dim), so this
+        # scales to the 10^8-host regime.
+        bl = self._blocklist_df().select(F.col("bhost").alias("host"))
         hosts = (
             self.spark.range(1, cfg.n_hosts + 1)
-            .select(datagen.host_name_col(F.col("id").cast("int")).alias("host"))
+            .select(
+                F.col("id").cast("int").alias("rank"),
+                datagen.host_name_col(F.col("id").cast("int")).alias("host"),
+            )
             # statically excluded hosts are never contacted at all
             .join(F.broadcast(bl), on="host", how="left_anti")
-            .join(F.broadcast(dn), on="host", how="left")
             .select(
                 "host",
                 F.xxhash64("host").alias("host_hash"),
@@ -236,7 +250,9 @@ class CrawlEngine:
                 .alias("bucket"),
                 F.lit(-1).alias("last_epoch"),
                 F.lit(0).cast("long").alias("fetch_count"),
-                F.coalesce(~F.col("_denied"), F.lit(True)).alias("robots_allowed"),
+                (~datagen.robots_denied_col(F.col("rank"), cfg.seed)).alias(
+                    "robots_allowed"
+                ),
             )
         )
         self.host_state.overwrite(hosts, {"rows": "robots_bootstrap"})
@@ -287,7 +303,7 @@ class CrawlEngine:
         """
         cfg = self.cfg
         s = with_url_identity(urls, "url", cfg.bucket_count)
-        s = s.join(F.broadcast(self._gated_hosts_df()), on="host", how="left_anti")
+        s = s.join(self._gated_hosts_df(), on="host", how="left_anti")
         w = Window.partitionBy("url_hash").orderBy(
             F.col("discovered_at").asc(), F.col("url").asc()
         )
@@ -491,8 +507,7 @@ class CrawlEngine:
                 F.lit(0x7FFFFFFFFFFFFFFF)
             ),
         ).withColumn("sel", F.pmod(F.col("hk"), F.lit(100)))
-        blocked = datagen.blocklist_hosts(cfg.seed, cfg.n_hosts)
-        barr = F.array(*[F.lit(h) for h in blocked])
+        n_blocked = len(datagen.blocklist_hosts(cfg.seed, cfg.n_hosts))
         seed_cond = (
             (F.col("sel") < 30) if cfg.n_seed_urls > 0 else F.lit(False)
         )
@@ -502,15 +517,20 @@ class CrawlEngine:
             .join(self._seed_dim_df(), on="idx")
             .select(F.col("seed_url").alias("url"))
         )
-        blocked_part = e.filter(~seed_cond & (F.col("sel") < 32)).select(
-            F.concat(
-                F.lit("https://"),
-                F.element_at(
-                    barr, F.pmod(F.col("hk"), F.lit(len(blocked))).cast("int") + 1
-                ),
-                F.lit("/x/"),
-                F.pmod(F.col("hk"), F.lit(10_000)).cast("string"),
-            ).alias("url")
+        # blocked-child pick: broadcast dim join (like _permille_df) rather
+        # than a plan-embedded literal array
+        blocked_part = (
+            e.filter(~seed_cond & (F.col("sel") < 32))
+            .withColumn("bi", F.pmod(F.col("hk"), F.lit(n_blocked)).cast("int"))
+            .join(F.broadcast(self._blocklist_df()), on="bi")
+            .select(
+                F.concat(
+                    F.lit("https://"),
+                    F.col("bhost"),
+                    F.lit("/x/"),
+                    F.pmod(F.col("hk"), F.lit(10_000)).cast("string"),
+                ).alias("url")
+            )
         )
         fresh_part = (
             e.filter(F.col("sel") >= 32)
@@ -802,7 +822,7 @@ class CrawlEngine:
             ok_hashes = results.filter(F.col("status") == 200).select("url_hash")
             disc = self.expand_jvm(ok_hashes)
             disc = with_url_identity(disc, "url", cfg.bucket_count)
-            disc = disc.join(F.broadcast(self._gated_hosts_df()), on="host", how="left_anti")
+            disc = disc.join(self._gated_hosts_df(), on="host", how="left_anti")
             wd = Window.partitionBy("url_hash").orderBy(F.col("url").asc())
             disc = disc.withColumn("_rn", F.row_number().over(wd)).filter(
                 F.col("_rn") == 1

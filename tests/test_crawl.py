@@ -354,3 +354,42 @@ def test_jvm_expansion_equals_python_twin(spark, small_cfg, tmp_path_factory):
         )
     )
     assert jvm == py and sum(jvm.values()) > 1000
+
+
+def test_million_host_bootstrap_distributed(spark, tmp_path_factory):
+    """VERDICT r02 perf #1: the gated-host fixtures must never materialize
+    on the driver. Bootstrap + one epoch at n_hosts=10^6 with every verdict
+    derived JVM-side (robots_denied_col over spark.range); the only
+    createDataFrame is the O(8) blocklist config dim, and expand_jvm's plan
+    carries no literal blocked-host array."""
+    from newscrawler_spark.engine.crawl import CrawlConfig
+
+    cfg = CrawlConfig(
+        n_hosts=1_000_000,
+        n_payload=100,
+        n_seed_urls=200,
+        batch_size=50,
+        host_quota=5,
+        bucket_count=32,
+        salt_buckets=4,
+    )
+    eng = CrawlEngine(spark, str(tmp_path_factory.mktemp("mhost")), cfg)
+    eng.bootstrap(datagen.gen_seeds_spark(spark, cfg.n_seed_urls, cfg.seed, cfg.n_hosts))
+    blocked = datagen.blocklist_hosts(cfg.seed, cfg.n_hosts)
+    hs = eng.host_state.read(spark)
+    # universe minus the statically excluded hosts, all distributed
+    assert hs.count() == cfg.n_hosts - len(set(blocked))
+    # verdict column matches the Python twin on a sample of ranks
+    sample = hs.filter(F.col("host").rlike("^host00(0[2-9]|1[0-9])\\.")).collect()
+    assert sample
+    for r in sample:
+        rank = int(r["host"][4:].split(".")[0])
+        assert r["robots_allowed"] is (not datagen.robots_denied_rank(rank, cfg.seed))
+    stats = eng.run_epoch(0)
+    assert stats["fetched"] > 0
+    # plan audit: no plan-embedded blocked-host literal array
+    plan = eng.expand_jvm(
+        spark.range(0, 10).select(F.xxhash64("id").alias("url_hash"))
+    )._jdf.queryExecution().optimizedPlan().toString()
+    for h in blocked:
+        assert h not in plan
