@@ -392,17 +392,49 @@ class CrawlEngine:
            ~1.5k candidate rows — executor-side and bounded, never the
            10^10-row frontier; the result is immediately repartitioned by
            bucket for the downstream joins.
+
+        When the cutoff degenerates (priority ties keep > 4k rows), step 3
+        switches to a bounded tournament rank — see the inline comment.
         """
         survivors = survivors.cache()
         self._epoch_tmp = survivors  # unpersisted by run_epoch after the batch materializes
         total = survivors.count()
         if total <= k:
+            self._last_topk_path = "all"
             return survivors.repartition(F.col("bucket"))
         frac = min(1.0, (1.5 * k) / total)
         t = survivors.stat.approxQuantile("priority", [max(0.0, 1.0 - frac)], 0.001)[0]
         cand = survivors.filter(F.col("priority") >= t)
-        if cand.count() < k:  # quantile undershot: any superset stays exact
-            cand = survivors
+        n_cand = cand.count()
+        if n_cand < k:  # quantile undershot: any superset stays exact
+            cand, n_cand = survivors, total
+        if n_cand > 4 * k:
+            # Tie-degenerate cutoff (VERDICT r02 perf #2 / ADVICE r02): with
+            # heavily tied or constant priorities the >=t filter retains
+            # ~|survivors| rows and the single-task window below would see
+            # the whole frontier. Tournament top-K instead: cap per bucket
+            # (url_hash-uniform, no skew), then fold groups with fan-in 4 —
+            # every task sorts <= max(per-bucket candidates, 4k) rows, and
+            # each round's per-group top-K provably contains the global
+            # top-K (rank_keys is a total order: url_hash is unique in the
+            # deduped frontier).
+            self._last_topk_path = "tree"
+            fan = 4
+            n_groups = self.cfg.bucket_count
+            cand = cand.withColumn("_g", F.col("bucket").cast("int"))
+            while True:
+                wg = Window.partitionBy("_g").orderBy(*rank_keys())
+                cand = (
+                    cand.withColumn("_gr", F.row_number().over(wg))
+                    .filter(F.col("_gr") <= k)
+                    .drop("_gr")
+                )
+                if n_groups == 1:
+                    break
+                n_groups = max(1, n_groups // fan)
+                cand = cand.withColumn("_g", F.pmod(F.col("_g"), F.lit(n_groups)))
+            return cand.drop("_g").repartition(F.col("bucket"))
+        self._last_topk_path = "window"
         w = Window.orderBy(*rank_keys())
         return (
             cand.withColumn("_gr", F.row_number().over(w))
@@ -780,178 +812,183 @@ class CrawlEngine:
             )
 
         pool = ThreadPoolExecutor(max_workers=6) if cfg.parallel_commit else None
-        if pool:
-            _t0_commit = _time.time()
+        try:
+            if pool:
+                _t0_commit = _time.time()
 
-            def _timed_early(name, fn):
+                def _timed_early(name, fn):
+                    def run():
+                        t0 = _time.time()
+                        try:
+                            return fn()
+                        finally:
+                            if profile:
+                                print(
+                                    f"[profile] commit task {name}: "
+                                    f"{_time.time() - t0:.2f}s "
+                                    f"(t+{t0 - _t0_commit:.2f})",
+                                    flush=True,
+                                )
+
+                    return run
+
+                f_store = pool.submit(_timed_early("store", store_task))
+                f_host = pool.submit(_timed_early("host", host_task))
+                f_order = pool.submit(_timed_early("order", order_task))
+
+            # --- retries / dead letters (403/429 backoff re-queue, T4)
+            failures = results.filter(F.col("status") != 200).select("url_hash", "status")
+            fr = batch.join(failures, on="url_hash", how="inner")
+            retry = fr.filter(F.col("retry_count") < cfg.max_retries)
+            backoff = F.element_at(
+                F.array(*[F.lit(b) for b in datagen.POLITENESS["backoff_batches"]]),
+                F.least(F.col("retry_count") + 1, F.lit(len(datagen.POLITENESS["backoff_batches"]))),
+            )
+            retry_rows = (
+                retry.withColumn("not_before", (F.lit(epoch) + backoff).cast("int"))
+                .withColumn("retry_count", F.col("retry_count") + 1)
+                .select(*[c.strip().split(" ")[0] for c in FRONTIER_DDL.split(",")])
+            )
+
+            # --- link expansion -> canonicalize -> blocklist -> anti-join seen
+            if cfg.expand:
+                ok_hashes = results.filter(F.col("status") == 200).select("url_hash")
+                disc = self.expand_jvm(ok_hashes)
+                disc = with_url_identity(disc, "url", cfg.bucket_count)
+                disc = disc.join(self._gated_hosts_df(), on="host", how="left_anti")
+                wd = Window.partitionBy("url_hash").orderBy(F.col("url").asc())
+                disc = disc.withColumn("_rn", F.row_number().over(wd)).filter(
+                    F.col("_rn") == 1
+                ).drop("_rn")
+                if cfg.use_bloom:
+                    # partitioned bloom prefilter; exact anti-join remains the
+                    # authority for the maybe-seen slice AND for stale buckets
+                    new_urls = self.seen_bloom.split_new(
+                        spark, disc, self.seen, stale_buckets=self._bloom_dirty
+                    )
+                else:
+                    seen_df = self.seen.read(spark).select("url_hash")
+                    new_urls = disc.join(seen_df, on="url_hash", how="left_anti")
+                discovered = (
+                    new_urls.withColumn(
+                        "priority",
+                        (F.pmod(F.col("url_hash"), F.lit(1_000_000)) / 1_000_000.0),
+                    )
+                    .withColumn("discovered_at", F.lit(_epoch_discovery_ts(epoch)))
+                    .withColumn("category", F.lit("general"))
+                    .withColumn("language", F.lit("en"))
+                    .withColumn("retry_count", F.lit(0))
+                    .withColumn("not_before", F.lit(epoch + 1))
+                    .select(*[c.strip().split(" ")[0] for c in FRONTIER_DDL.split(",")])
+                ).cache()
+                disc_stats = discovered.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+                n_discovered = sum(r["n"] for r in disc_stats)
+            else:
+                discovered = spark.createDataFrame([], FRONTIER_DDL)
+                disc_stats = []
+                n_discovered = 0
+
+            mark("expand")
+
+            # --- commit: frontier delete+insert, seen append (+ amortized bloom
+            #     rebuild), lineage append — independent tables, same pool.
+            def frontier_task():
+                # merge-on-read: the epoch's frontier update appends O(delta)
+                # rows + a tombstone key file instead of rewriting every touched
+                # bucket — at a 10^10-row frontier a COW rewrite per epoch is
+                # the commit-path bottleneck (measured ~15 s/epoch flat in the
+                # sandbox); tombstones are folded in by the periodic compact.
+                inserts = retry_rows.unionByName(discovered)
+                return self.frontier.merge_delta(
+                    spark, batch.select("url_hash", "bucket"), inserts, "url_hash",
+                    {"epoch": epoch}, mode="mor",
+                )
+
+            def seen_bloom_task():
+                seen_id = (
+                    self.seen.append(discovered.select("url_hash", "bucket"))
+                    if n_discovered
+                    else self.seen.current_snapshot_id()
+                )
+                # incremental bloom maintenance: OR this epoch's keys into the
+                # existing bitmaps — bit-identical to a rebuild at unchanged m
+                # and O(epoch delta), never a seen-table rescan. Only buckets
+                # needing a RESIZE (bitmap outgrown) fall back to the full
+                # rebuild; buckets stale from external appends (stream ingest)
+                # ride the same dirty set and exact-join until rebuilt.
+                if cfg.use_bloom and n_discovered:
+                    resize = self.seen_bloom.add_keys(
+                        spark, discovered.select("url_hash", "bucket")
+                    )
+                    self._bloom_dirty |= set(resize)
+                if cfg.use_bloom and self._bloom_dirty:
+                    rebuilt = sorted(self._bloom_dirty)
+                    bloom_id = self.seen_bloom.rebuild_buckets(
+                        spark, self.seen, rebuilt
+                    )
+                    # subtract exactly what was rebuilt — a blind clear
+                    # would drop dirty marks a concurrent stream batch
+                    # added mid-rebuild, leaving a stale bloom whose false
+                    # negative re-admits a seen URL (ADVICE r02)
+                    self._bloom_dirty -= set(rebuilt)
+                else:
+                    bloom_id = self.seen_bloom.table.current_snapshot_id()
+                return seen_id, bloom_id
+
+            def log_task():
+                # lineage is PER-BUCKET: discoveries counted in the bucket they
+                # land in, new-frontier = that bucket's retry re-inserts +
+                # discoveries (ADVICE r01: global totals were stamped per row)
+                disc_by_bucket = (
+                    {r["bucket"]: int(r["n"]) for r in disc_stats} if cfg.expand else {}
+                )
+                log_by_bucket = {r["bucket"]: r for r in log_rows}
+                log = spark.createDataFrame(
+                    [
+                        (
+                            epoch, b,
+                            (int(r["n_fetched"]) if r else 0) + cached_counts.get(b, 0),
+                            cached_counts.get(b, 0),
+                            int(r["n_stored"]) if r else 0,
+                            int(r["n_rejected"]) if r else 0,
+                            int(r["n_invalid"]) if r else 0,
+                            int(r["n_retry"]) if r else 0,
+                            int(r["n_dead"]) if r else 0,
+                            disc_by_bucket.get(b, 0),
+                            (int(r["n_retry"]) if r else 0) + disc_by_bucket.get(b, 0),
+                        )
+                        for b in sorted(
+                            set(log_by_bucket) | set(disc_by_bucket) | set(cached_counts)
+                        )
+                        for r in [log_by_bucket.get(b)]
+                    ],
+                    FETCH_LOG_DDL,
+                )
+                return self.fetch_log.append(log)
+
+            def pending_task():
+                # scheduled re-queued keys leave the pending table whether they
+                # were cache hits or misses (misses were actually fetched)
+                if touched_pend is None or not n_pend:
+                    return self.requeue_pending.current_snapshot_id()
+                remaining = self.requeue_pending.read(spark).join(
+                    touched_pend.select("url_hash"), on="url_hash", how="left_anti"
+                )
+                return self.requeue_pending.overwrite(remaining, {"epoch": epoch})
+
+            task_secs: dict[str, float] = {}
+
+            def timed(name, fn):
                 def run():
                     t0 = _time.time()
                     try:
                         return fn()
                     finally:
-                        if profile:
-                            print(
-                                f"[profile] commit task {name}: "
-                                f"{_time.time() - t0:.2f}s "
-                                f"(t+{t0 - _t0_commit:.2f})",
-                                flush=True,
-                            )
+                        task_secs[name] = round(_time.time() - t0, 2)
 
                 return run
 
-            f_store = pool.submit(_timed_early("store", store_task))
-            f_host = pool.submit(_timed_early("host", host_task))
-            f_order = pool.submit(_timed_early("order", order_task))
-
-        # --- retries / dead letters (403/429 backoff re-queue, T4)
-        failures = results.filter(F.col("status") != 200).select("url_hash", "status")
-        fr = batch.join(failures, on="url_hash", how="inner")
-        retry = fr.filter(F.col("retry_count") < cfg.max_retries)
-        backoff = F.element_at(
-            F.array(*[F.lit(b) for b in datagen.POLITENESS["backoff_batches"]]),
-            F.least(F.col("retry_count") + 1, F.lit(len(datagen.POLITENESS["backoff_batches"]))),
-        )
-        retry_rows = (
-            retry.withColumn("not_before", (F.lit(epoch) + backoff).cast("int"))
-            .withColumn("retry_count", F.col("retry_count") + 1)
-            .select(*[c.strip().split(" ")[0] for c in FRONTIER_DDL.split(",")])
-        )
-
-        # --- link expansion -> canonicalize -> blocklist -> anti-join seen
-        if cfg.expand:
-            ok_hashes = results.filter(F.col("status") == 200).select("url_hash")
-            disc = self.expand_jvm(ok_hashes)
-            disc = with_url_identity(disc, "url", cfg.bucket_count)
-            disc = disc.join(self._gated_hosts_df(), on="host", how="left_anti")
-            wd = Window.partitionBy("url_hash").orderBy(F.col("url").asc())
-            disc = disc.withColumn("_rn", F.row_number().over(wd)).filter(
-                F.col("_rn") == 1
-            ).drop("_rn")
-            if cfg.use_bloom:
-                # partitioned bloom prefilter; exact anti-join remains the
-                # authority for the maybe-seen slice AND for stale buckets
-                new_urls = self.seen_bloom.split_new(
-                    spark, disc, self.seen, stale_buckets=self._bloom_dirty
-                )
-            else:
-                seen_df = self.seen.read(spark).select("url_hash")
-                new_urls = disc.join(seen_df, on="url_hash", how="left_anti")
-            discovered = (
-                new_urls.withColumn(
-                    "priority",
-                    (F.pmod(F.col("url_hash"), F.lit(1_000_000)) / 1_000_000.0),
-                )
-                .withColumn("discovered_at", F.lit(_epoch_discovery_ts(epoch)))
-                .withColumn("category", F.lit("general"))
-                .withColumn("language", F.lit("en"))
-                .withColumn("retry_count", F.lit(0))
-                .withColumn("not_before", F.lit(epoch + 1))
-                .select(*[c.strip().split(" ")[0] for c in FRONTIER_DDL.split(",")])
-            ).cache()
-            disc_stats = discovered.groupBy("bucket").agg(F.count("*").alias("n")).collect()
-            n_discovered = sum(r["n"] for r in disc_stats)
-        else:
-            discovered = spark.createDataFrame([], FRONTIER_DDL)
-            disc_stats = []
-            n_discovered = 0
-
-        mark("expand")
-
-        # --- commit: frontier delete+insert, seen append (+ amortized bloom
-        #     rebuild), lineage append — independent tables, same pool.
-        def frontier_task():
-            # merge-on-read: the epoch's frontier update appends O(delta)
-            # rows + a tombstone key file instead of rewriting every touched
-            # bucket — at a 10^10-row frontier a COW rewrite per epoch is
-            # the commit-path bottleneck (measured ~15 s/epoch flat in the
-            # sandbox); tombstones are folded in by the periodic compact.
-            inserts = retry_rows.unionByName(discovered)
-            return self.frontier.merge_delta(
-                spark, batch.select("url_hash", "bucket"), inserts, "url_hash",
-                {"epoch": epoch}, mode="mor",
-            )
-
-        def seen_bloom_task():
-            seen_id = (
-                self.seen.append(discovered.select("url_hash", "bucket"))
-                if n_discovered
-                else self.seen.current_snapshot_id()
-            )
-            # incremental bloom maintenance: OR this epoch's keys into the
-            # existing bitmaps — bit-identical to a rebuild at unchanged m
-            # and O(epoch delta), never a seen-table rescan. Only buckets
-            # needing a RESIZE (bitmap outgrown) fall back to the full
-            # rebuild; buckets stale from external appends (stream ingest)
-            # ride the same dirty set and exact-join until rebuilt.
-            if cfg.use_bloom and n_discovered:
-                resize = self.seen_bloom.add_keys(
-                    spark, discovered.select("url_hash", "bucket")
-                )
-                self._bloom_dirty |= set(resize)
-            if cfg.use_bloom and self._bloom_dirty:
-                bloom_id = self.seen_bloom.rebuild_buckets(
-                    spark, self.seen, sorted(self._bloom_dirty)
-                )
-                self._bloom_dirty = set()
-            else:
-                bloom_id = self.seen_bloom.table.current_snapshot_id()
-            return seen_id, bloom_id
-
-        def log_task():
-            # lineage is PER-BUCKET: discoveries counted in the bucket they
-            # land in, new-frontier = that bucket's retry re-inserts +
-            # discoveries (ADVICE r01: global totals were stamped per row)
-            disc_by_bucket = (
-                {r["bucket"]: int(r["n"]) for r in disc_stats} if cfg.expand else {}
-            )
-            log_by_bucket = {r["bucket"]: r for r in log_rows}
-            log = spark.createDataFrame(
-                [
-                    (
-                        epoch, b,
-                        (int(r["n_fetched"]) if r else 0) + cached_counts.get(b, 0),
-                        cached_counts.get(b, 0),
-                        int(r["n_stored"]) if r else 0,
-                        int(r["n_rejected"]) if r else 0,
-                        int(r["n_invalid"]) if r else 0,
-                        int(r["n_retry"]) if r else 0,
-                        int(r["n_dead"]) if r else 0,
-                        disc_by_bucket.get(b, 0),
-                        (int(r["n_retry"]) if r else 0) + disc_by_bucket.get(b, 0),
-                    )
-                    for b in sorted(
-                        set(log_by_bucket) | set(disc_by_bucket) | set(cached_counts)
-                    )
-                    for r in [log_by_bucket.get(b)]
-                ],
-                FETCH_LOG_DDL,
-            )
-            return self.fetch_log.append(log)
-
-        def pending_task():
-            # scheduled re-queued keys leave the pending table whether they
-            # were cache hits or misses (misses were actually fetched)
-            if touched_pend is None or not n_pend:
-                return self.requeue_pending.current_snapshot_id()
-            remaining = self.requeue_pending.read(spark).join(
-                touched_pend.select("url_hash"), on="url_hash", how="left_anti"
-            )
-            return self.requeue_pending.overwrite(remaining, {"epoch": epoch})
-
-        task_secs: dict[str, float] = {}
-
-        def timed(name, fn):
-            def run():
-                t0 = _time.time()
-                try:
-                    return fn()
-                finally:
-                    task_secs[name] = round(_time.time() - t0, 2)
-
-            return run
-
-        if pool:
-            try:
+            if pool:
                 f_frontier = pool.submit(timed("frontier", frontier_task))
                 f_seen = pool.submit(timed("seen+bloom", seen_bloom_task))
                 f_log = pool.submit(timed("log", log_task))
@@ -963,20 +1000,23 @@ class CrawlEngine:
                 seen_id, bloom_id = f_seen.result()
                 log_id = f_log.result()
                 pend_id = f_pend.result()
-            finally:
-                # on any task failure, wait out the siblings before
-                # unwinding — otherwise background threads keep committing
-                # table pointers while the caller is already recovering,
-                # and each failed epoch leaks six threads
+            else:
+                store_id = timed("store", store_task)()
+                host_id = timed("host", host_task)()
+                order_id = timed("order", order_task)()
+                frontier_id = timed("frontier", frontier_task)()
+                seen_id, bloom_id = timed("seen+bloom", seen_bloom_task)()
+                log_id = timed("log", log_task)()
+                pend_id = timed("pending", pending_task)()
+        finally:
+            # on any failure in scheduling, expansion, or a commit
+            # task, wait out in-flight commit threads before
+            # unwinding — otherwise background threads keep flipping
+            # table pointers while the epoch is already recovering
+            # (ADVICE r02: the pool used to be guarded only from the
+            # second submit wave onward)
+            if pool:
                 pool.shutdown(wait=True)
-        else:
-            store_id = timed("store", store_task)()
-            host_id = timed("host", host_task)()
-            order_id = timed("order", order_task)()
-            frontier_id = timed("frontier", frontier_task)()
-            seen_id, bloom_id = timed("seen+bloom", seen_bloom_task)()
-            log_id = timed("log", log_task)()
-            pend_id = timed("pending", pending_task)()
         if profile and task_secs:
             print(f"[profile] commit tasks: {task_secs}", flush=True)
         mark("parallel_commit")

@@ -242,6 +242,15 @@ def connected_components(
         lab = new_lab
         if changed == 0:
             break
+    else:
+        # never exit silently with unconverged (wrong) labels: a component
+        # whose diameter exceeds max_iter would otherwise return split
+        # clusters with no signal (ADVICE r02)
+        raise RuntimeError(
+            f"connected_components: not converged after {max_iter} "
+            f"iterations ({changed} labels still changing) — raise max_iter "
+            "(diameter bound) for long-chain components"
+        )
     return lab.select(F.col("id").alias(id_col), "comp")
 
 

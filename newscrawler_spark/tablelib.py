@@ -36,6 +36,7 @@ directories can be read directly without basePath tricks.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import shutil
@@ -125,6 +126,23 @@ class Snapshot:
         )
 
 
+def _locked(fn):
+    """Serialize mutations of ONE table: the commit protocol is
+    read-sid -> write manifest -> flip pointer, so two concurrent writers
+    (a stream foreachBatch racing an epoch commit thread, ADVICE r02) could
+    allocate the same snapshot id and silently drop one commit. An RLock per
+    table keeps same-table commits sequential while different tables still
+    commit in parallel from the epoch pool. (Real Iceberg provides the same
+    guarantee via optimistic retry on the catalog pointer.)"""
+
+    @functools.wraps(fn)
+    def inner(self, *a, **kw):
+        with self._commit_lock:
+            return fn(self, *a, **kw)
+
+    return inner
+
+
 class SnapshotTable:
     """One bucketed table with snapshot isolation and COW merges."""
 
@@ -141,6 +159,7 @@ class SnapshotTable:
         # small lineage/state tables skip bucket dirs (no pruning need, and
         # a shuffle-per-commit would be pure overhead)
         self.partitioned = partitioned
+        self._commit_lock = threading.RLock()
         os.makedirs(os.path.join(self.dir, "manifests"), exist_ok=True)
         os.makedirs(os.path.join(self.dir, "data"), exist_ok=True)
         if not os.path.exists(self._version_path()):
@@ -299,6 +318,7 @@ class SnapshotTable:
             self.set_current(sid)
         return sid
 
+    @_locked
     def append(self, df: DataFrame, summary: dict | None = None, set_pointer: bool = True) -> int:
         sid = self.next_sid()
         cur = self.snapshot()
@@ -314,10 +334,12 @@ class SnapshotTable:
             deletes={b: list(d) for b, d in cur.deletes.items()}, dir_seq=dir_seq,
         )
 
+    @_locked
     def overwrite(self, df: DataFrame, summary: dict | None = None, set_pointer: bool = True) -> int:
         new = self._write_data(df, "overwrite")
         return self._commit(new, "overwrite", summary or {}, set_pointer)
 
+    @_locked
     def merge_upsert(
         self,
         spark: SparkSession,
@@ -401,6 +423,7 @@ class SnapshotTable:
             out = out.withColumn(c, F.coalesce(f"__old_{c}", c)).drop(f"__old_{c}")
         return out
 
+    @_locked
     def merge_delta(
         self,
         spark: SparkSession,
@@ -518,6 +541,7 @@ class SnapshotTable:
             deletes=deletes, dir_seq=dir_seq,
         )
 
+    @_locked
     def delete_where(
         self, spark: SparkSession, condition: str, summary: dict | None = None
     ) -> int:
@@ -534,6 +558,7 @@ class SnapshotTable:
         tomb = max((len(d) for d in snap.deletes.values()), default=0)
         return max(data, tomb)
 
+    @_locked
     def compact(self, spark: SparkSession, summary: dict | None = None) -> int:
         """Rewrite the table so each bucket is one data dir (Iceberg
         rewrite_data_files): appends accumulate dirs per bucket; compaction
@@ -542,6 +567,7 @@ class SnapshotTable:
             return self.current_snapshot_id()
         return self.overwrite(self.read(spark), summary or {"op": "compact"})
 
+    @_locked
     def expire_snapshots(self, keep_last: int = 10) -> None:
         """GC old manifests + unreferenced data dirs (Iceberg expire_snapshots)."""
         hist = self.history()

@@ -393,3 +393,47 @@ def test_million_host_bootstrap_distributed(spark, tmp_path_factory):
     )._jdf.queryExecution().optimizedPlan().toString()
     for h in blocked:
         assert h not in plan
+
+
+def test_topk_distributed_tie_robust(spark, small_cfg, tmp_path_factory):
+    """VERDICT r02 perf #2 / ADVICE r02: a constant-priority frontier must
+    not feed |survivors| rows into the single-task global window. The tree
+    (tournament) path must engage and still select the identical batch."""
+    import datetime as dt
+
+    eng = CrawlEngine(spark, str(tmp_path_factory.mktemp("tie")), small_cfg)
+    k = 100
+    base = (
+        spark.range(0, 20_000)
+        .select(
+            F.xxhash64("id").alias("url_hash"),
+            F.pmod(F.xxhash64("id"), F.lit(small_cfg.bucket_count))
+            .cast("int")
+            .alias("bucket"),
+            F.lit(1.0).alias("priority"),  # fully tie-degenerate
+            F.lit(dt.datetime(2024, 1, 1)).alias("discovered_at"),
+        )
+    )
+    from newscrawler_spark.engine.crawl import rank_keys
+
+    got = eng._topk_distributed(base, k)
+    rows = sorted(r["url_hash"] for r in got.collect())
+    assert eng._last_topk_path == "tree"
+    want = sorted(
+        r["url_hash"] for r in base.orderBy(*rank_keys()).limit(k).collect()
+    )
+    assert rows == want and len(rows) == k
+    eng._epoch_tmp.unpersist()
+
+    # near-unique priorities at the same size stay on the bounded-window path
+    spread = base.withColumn(
+        "priority", (F.pmod(F.col("url_hash"), F.lit(100_000)) / 100.0)
+    )
+    got2 = eng._topk_distributed(spread, k)
+    rows2 = sorted(r["url_hash"] for r in got2.collect())
+    assert eng._last_topk_path == "window"
+    want2 = sorted(
+        r["url_hash"] for r in spread.orderBy(*rank_keys()).limit(k).collect()
+    )
+    assert rows2 == want2
+    eng._epoch_tmp.unpersist()

@@ -192,3 +192,26 @@ def test_mor_compact_folds_tombstones(spark, cat):
     snap = t.snapshot()
     assert not snap.deletes  # tombstones folded into data files
     assert {r["k"] for r in t.read(spark).collect()} == before
+
+
+def test_concurrent_appends_never_lose_a_commit(spark, tmp_path):
+    """ADVICE r02: two writers racing the read-sid -> manifest -> pointer
+    protocol on the SAME table must serialize — every append lands, no
+    snapshot id is double-allocated."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from newscrawler_spark.tablelib import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path), "race", "k long, bucket int")
+    dfs = [
+        spark.range(i * 10, i * 10 + 10).select(
+            F.col("id").alias("k"), F.lit(i % 4).cast("int").alias("bucket")
+        )
+        for i in range(8)
+    ]
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        sids = list(pool.map(lambda d: t.append(d), dfs))
+    assert len(set(sids)) == len(sids), f"duplicate snapshot ids: {sids}"
+    assert t.read(spark).count() == 80
+    # history is a contiguous chain: every append has a distinct manifest
+    assert set(sids) <= set(t.history())
