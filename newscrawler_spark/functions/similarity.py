@@ -193,17 +193,23 @@ def embedding_near_dup_pairs(
     bits: int = 6,
     seed: int = 42,
     id_col: str = "vec_id",
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Near-dup pairs by cosine >= threshold, LSH-blocked self-join.
 
     Candidate pairs come only from equal LSH signatures (equi-join on the
     bucket key), then the exact cosine verifies — linear-ish, not O(n^2).
+    Signature buckets over ``max_bucket`` members are capped
+    (see dedup.cap_bucket_members).
     """
+    from .dedup import cap_bucket_members
+
     dim = len(df.select(vec_col).first()[0])
     planes = hyperplanes(dim, bits, seed)
     b = df.withColumn("_sig", lsh_signature_col(F.col(vec_col), planes)).select(
         F.col(id_col), F.col(vec_col), F.col("_sig")
     )
+    b = cap_bucket_members(b, ["_sig"], id_col, max_bucket)
     l, r = b.alias("l"), b.alias("r")
     cand = l.join(
         r,
