@@ -754,6 +754,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["decode_features"] = q_decode_features
 
+    def q_query_rewrite(spark, sf):
+        """S2 search-query rewrite (news_sources.py:45-62): raw user search
+        strings — comma lists, multi-word, already-forced, snippets, empty —
+        rewritten to AND-joined terms + forced term."""
+        docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 500)
+        raw = (
+            F.when(F.col("doc_id") % 5 == 0, F.lit("spark, shuffle , tuning,"))
+            .when(F.col("doc_id") % 5 == 1, F.lit("  data engineering at scale  "))
+            .when(F.col("doc_id") % 5 == 2, F.lit("Newsweek exclusive"))
+            .when(F.col("doc_id") % 5 == 3, F.lit(""))
+            .otherwise(F.trim(F.substring(F.col("text"), 1, 25)))
+        )
+        r = docs.select("doc_id", raw.alias("raw"))
+        return r.select(
+            "doc_id",
+            "raw",
+            T.rewrite_query(F.col("raw")).alias("q"),
+            F.size(F.split(T.rewrite_query(F.col("raw")), " AND ")).alias(
+                "n_terms"
+            ),
+        )
+
+    q["query_rewrite"] = q_query_rewrite
+
+    def q_headline_titles(spark, sf):
+        """A5/O4 collect path: per-cluster sorted distinct titles via
+        collect_set (google_news_crawler.py:388-440) — gated as a joined
+        string so the array cells hash identically across engines."""
+        docs = _t(spark, sf, "documents")
+        titled = docs.select(
+            "lang", F.substring(F.col("text"), 1, 30).alias("title")
+        )
+        g = Q.headline_groups(titled, "lang", "title", min_title_len=10, max_groups=5)
+        return g.select(
+            "lang",
+            F.array_join(F.col("titles"), "|").alias("titles_joined"),
+            "n_titles",
+        )
+
+    q["headline_titles"] = q_headline_titles
+
     return q
 
 
@@ -1170,5 +1211,47 @@ def oracle_sql() -> dict[str, str]:
           FROM embeddings, q)
         SELECT row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS rank, vec_id
         FROM scored ORDER BY sim DESC, vec_id ASC LIMIT 10
+    """
+    o["query_rewrite"] = """
+        WITH raw AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 5 = 0 THEN 'spark, shuffle , tuning,'
+                      WHEN doc_id % 5 = 1 THEN '  data engineering at scale  '
+                      WHEN doc_id % 5 = 2 THEN 'Newsweek exclusive'
+                      WHEN doc_id % 5 = 3 THEN ''
+                      ELSE trim(substring(text, 1, 25)) END AS raw
+          FROM documents WHERE doc_id < 500),
+        rw AS (
+          SELECT doc_id, raw,
+                 CASE WHEN contains(raw, ',') THEN
+                        array_to_string(list_filter(
+                          list_transform(string_split(raw, ','), x -> trim(x)),
+                          x -> x <> ''), ' AND ')
+                      WHEN contains(trim(raw), ' ') THEN
+                        array_to_string(list_filter(
+                          string_split_regex(trim(raw), '\\s+'),
+                          x -> x <> ''), ' AND ')
+                      ELSE raw END AS q0
+          FROM raw)
+        SELECT doc_id, raw,
+               CASE WHEN length(raw) = 0 THEN 'newsweek'
+                    WHEN NOT contains(lower(q0), 'newsweek')
+                      THEN q0 || ' AND newsweek'
+                    ELSE q0 END AS q,
+               len(string_split(
+                 CASE WHEN length(raw) = 0 THEN 'newsweek'
+                      WHEN NOT contains(lower(q0), 'newsweek')
+                        THEN q0 || ' AND newsweek'
+                      ELSE q0 END, ' AND ')) AS n_terms
+        FROM rw
+    """
+    o["headline_titles"] = """
+        WITH titled AS (
+          SELECT lang, substring(text, 1, 30) AS title FROM documents)
+        SELECT lang,
+               array_to_string(list_sort(list(DISTINCT title)), '|') AS titles_joined,
+               count(DISTINCT title) AS n_titles
+        FROM titled WHERE length(title) > 10
+        GROUP BY lang ORDER BY n_titles DESC, lang ASC LIMIT 5
     """
     return o

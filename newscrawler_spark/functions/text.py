@@ -118,3 +118,31 @@ def regex_cascade(c: Column, patterns: list[str], group: int = 1) -> Column:
     return F.coalesce(
         *[F.nullif(F.regexp_extract(c, p, group), F.lit("")) for p in patterns]
     )
+
+
+def rewrite_query(c: Column, forced: str = "newsweek") -> Column:
+    """S2 search-query rewrite (news_sources.py:45-62): a comma-separated
+    list or multi-word search becomes ' AND '-joined terms (stripped,
+    empties dropped); the forced term is appended unless already present
+    case-insensitively; an empty search is just the forced term."""
+    comma = F.array_join(
+        F.filter(
+            F.transform(F.split(c, ","), lambda x: F.trim(x)),
+            lambda x: x != "",
+        ),
+        " AND ",
+    )
+    space = F.array_join(
+        F.filter(F.split(F.trim(c), r"\s+"), lambda x: x != ""), " AND "
+    )
+    q = (
+        F.when(c.contains(","), comma)
+        .when(F.trim(c).contains(" "), space)
+        .otherwise(c)
+    )
+    return F.when(F.length(c) == 0, F.lit(forced)).otherwise(
+        F.when(
+            ~F.lower(q).contains(forced.lower()),
+            F.concat(q, F.lit(" AND " + forced)),
+        ).otherwise(q)
+    )
