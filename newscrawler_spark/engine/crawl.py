@@ -120,10 +120,19 @@ class CrawlConfig:
 
 
 class CrawlEngine:
-    def __init__(self, spark: SparkSession, root: str, cfg: CrawlConfig | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        cfg: CrawlConfig | None = None,
+        catalog: Catalog | None = None,
+    ):
         self.spark = spark
         self.cfg = cfg or CrawlConfig()
-        self.catalog = Catalog(root)
+        # storage backend seam: any Catalog implementing the tablelib
+        # surface works — the parquet+manifest twin (default) or
+        # iceberg_backend.IcebergCatalog on a cluster with the runtime jar
+        self.catalog = catalog if catalog is not None else Catalog(root)
         self.frontier = self.catalog.table("frontier", FRONTIER_DDL)
         self.seen = self.catalog.table("seen", SEEN_DDL)
         self.store = self.catalog.table("store", STORE_DDL)
