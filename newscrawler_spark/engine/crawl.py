@@ -210,6 +210,15 @@ class CrawlEngine:
             self._gated_hosts = denied.unionByName(bl).distinct().cache()
         return self._gated_hosts
 
+    def _gated_dim(self) -> DataFrame:
+        """The gated-host dim for admission anti-joins, broadcast-hinted
+        while PROVABLY small (~n_hosts/10 rows, known driver-side from the
+        config — no size estimation needed). Beyond ~2e6 hosts the dim
+        outgrows a sane broadcast and the unhinted plan (AQE broadcast or
+        shuffle join on host against the robots cache) is the right one."""
+        g = self._gated_hosts_df()
+        return F.broadcast(g) if self.cfg.n_hosts <= 2_000_000 else g
+
     def bootstrap(self, seeds: DataFrame) -> None:
         """Ingest the seed list: canonicalize, blocklist+robots gate,
         first-wins dedup.
@@ -222,7 +231,7 @@ class CrawlEngine:
         """
         cfg = self.cfg
         s = with_url_identity(seeds, "url", cfg.bucket_count)
-        s = s.join(self._gated_hosts_df(), on="host", how="left_anti")
+        s = s.join(self._gated_dim(), on="host", how="left_anti")
         w = Window.partitionBy("url_hash").orderBy(
             F.col("discovered_at").asc(), F.col("url").asc()
         )
@@ -312,7 +321,7 @@ class CrawlEngine:
         """
         cfg = self.cfg
         s = with_url_identity(urls, "url", cfg.bucket_count)
-        s = s.join(self._gated_hosts_df(), on="host", how="left_anti")
+        s = s.join(self._gated_dim(), on="host", how="left_anti")
         w = Window.partitionBy("url_hash").orderBy(
             F.col("discovered_at").asc(), F.col("url").asc()
         )
@@ -864,7 +873,7 @@ class CrawlEngine:
                 ok_hashes = results.filter(F.col("status") == 200).select("url_hash")
                 disc = self.expand_jvm(ok_hashes)
                 disc = with_url_identity(disc, "url", cfg.bucket_count)
-                disc = disc.join(self._gated_hosts_df(), on="host", how="left_anti")
+                disc = disc.join(self._gated_dim(), on="host", how="left_anti")
                 wd = Window.partitionBy("url_hash").orderBy(F.col("url").asc())
                 disc = disc.withColumn("_rn", F.row_number().over(wd)).filter(
                     F.col("_rn") == 1

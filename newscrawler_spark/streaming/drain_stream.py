@@ -56,7 +56,7 @@ def stream_seed_ingest(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         s = with_url_identity(batch_df, "url", cfg.bucket_count)
-        s = s.join(engine._gated_hosts_df(), on="host", how="left_anti")
+        s = s.join(engine._gated_dim(), on="host", how="left_anti")
         w = Window.partitionBy("url_hash").orderBy(
             F.col("discovered_at").asc(), F.col("url").asc()
         )
