@@ -41,6 +41,8 @@ HEADLINE = [
     "cosine_topk",
     "simhash_pairs",
     "decode_features",
+    "sessionize",
+    "windowed_agg",
 ]
 
 DRAIN = {

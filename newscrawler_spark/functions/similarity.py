@@ -15,6 +15,7 @@ as literal arrays (broadcast by Catalyst as part of the plan).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -226,3 +227,111 @@ def embedding_near_dup_pairs(
         ).alias("cos_sim"),
     )
     return cand.filter(F.col("cos_sim") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path.
+#
+# LSH above partitions by random hyperplanes; IVF partitions by LEARNED
+# centroids (FAISS IndexIVFFlat shape): train a small k-means codebook on a
+# bounded deterministic sample, assign every vector to its nearest centroid
+# (one Arrow-batched matrix multiply — the one place numpy beats built-ins),
+# then answer queries by scanning only the nprobe nearest centroid lists.
+# At 10^10 vectors the indexed table is written PARTITIONED BY _cid, so a
+# query reads nprobe partitions, never the full scan.
+
+
+def ivf_train(
+    df: DataFrame,
+    vec_col: str,
+    n_centroids: int = 16,
+    n_iter: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    sample_n: int = 65_536,
+) -> np.ndarray:
+    """Train the IVF codebook: Lloyd k-means on a bounded sample.
+
+    The sample is deterministic (smallest xxhash64(id, seed) rows — a
+    uniform pseudo-random draw that is reproducible and shuffle-free) and
+    bounded by ``sample_n``, so the driver-side training cost is O(sample),
+    independent of table size — standard practice (FAISS trains on
+    ~256·k vectors). Init = first n_centroids sample rows; empty clusters
+    re-seed deterministically from the farthest points.
+    """
+    rows = (
+        df.select(id_col, vec_col)
+        .withColumn("_h", F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)))
+        .orderBy("_h")
+        .limit(sample_n)
+        .select(vec_col)
+        .collect()
+    )
+    x = np.asarray([r[0] for r in rows], dtype=np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    cents = x[:n_centroids].copy()
+    for _ in range(n_iter):
+        sims = x @ cents.T  # cosine on unit vectors
+        assign = np.argmax(sims, axis=1)
+        for c in range(n_centroids):
+            members = x[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                cents[c] = m / max(np.linalg.norm(m), 1e-12)
+            else:  # re-seed from the globally worst-served point
+                cents[c] = x[int(np.argmin(np.max(sims, axis=1)))]
+    return cents
+
+
+def ivf_index(
+    df: DataFrame, vec_col: str, centroids: np.ndarray, id_col: str = "vec_id"
+) -> DataFrame:
+    """Assign every vector its nearest-centroid id ``_cid``.
+
+    One vectorized pandas UDF doing an Arrow-batched (B×d)@(d×k) matmul —
+    k dot products per row is the case where BLAS beats per-element
+    zip_with chains. The centroid matrix rides the closure (tiny: k×d
+    floats), broadcast once per executor.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    c = centroids.astype(np.float64)
+
+    @pandas_udf("int")
+    def nearest(vecs: pd.Series) -> pd.Series:
+        m = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(m @ c.T, axis=1).astype(np.int32))
+
+    return df.withColumn("_cid", nearest(F.col(vec_col)))
+
+
+def ivf_topk(
+    indexed: DataFrame,
+    vec_col: str,
+    centroids: np.ndarray,
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF query: exact cosine rank inside the nprobe nearest centroid lists.
+
+    Probe selection is O(k_centroids) driver-side numpy; the scan touches
+    only the probed ``_cid`` partitions (partition pruning when the index
+    table is written partitioned by _cid).
+    """
+    qv = np.asarray(query, dtype=np.float64)
+    qv = qv / max(np.linalg.norm(qv), 1e-12)
+    order = np.argsort(-(centroids @ qv))
+    probes = [int(c) for c in order[:nprobe]]
+    qcol = F.array(*[F.lit(float(v)) for v in query])
+    return (
+        indexed.filter(F.col("_cid").isin(probes))
+        .select(
+            F.col(id_col),
+            cosine(F.col(vec_col).cast("array<double>"), qcol).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )

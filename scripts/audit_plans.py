@@ -176,6 +176,26 @@ def main() -> int:
     if not ok9:
         failures.append("expand-python")
 
+    # 10. sessionization: the per-session rollup reuses the sessionize
+    # window's hashpartitioning(user_id) — ONE exchange end-to-end (the
+    # groupBy key prefix is the window partition key), and zero Python.
+    from newscrawler_spark.functions import sessions as SESS
+
+    p10 = plan_of(SESS.session_stats(ev, gap_s=6 * 3600))
+    n_exch = p10.count("Exchange (")
+    ok10 = (
+        n_exch == 1
+        and "hashpartitioning(user_id" in p10
+        and "ArrowEvalPython" not in p10
+        and "BatchEvalPython" not in p10
+    )
+    report.append(
+        f"## sessionize + per-session rollup: one exchange, zero Python: "
+        f"{'OK' if ok10 else 'FAIL'} (Exchange={n_exch})\n```\n{p10}\n```\n"
+    )
+    if not ok10:
+        failures.append("sessionize-exchange")
+
     with open("PLANS.md", "w") as f:
         f.write("\n".join(report))
     print("audit:", "ALL OK" if not failures else f"FAILURES: {failures}")
