@@ -616,12 +616,27 @@ class CrawlEngine:
             "payload_idx", F.pmod(F.col("url_hash"), F.lit(cfg.n_payload)).cast("long")
         )
         # small batch: broadcast it so the payload scan joins without a
-        # shuffle. Large (cluster-scale) batch: a broadcast would hit the
-        # 8 GB/driver-memory wall — let it shuffle-join instead.
+        # shuffle. Large (cluster-scale) batch: broadcasting the BATCH would
+        # hit the 8 GB/driver wall, but a shuffle join is worse in a subtler
+        # way — AQE coalesces the post-join stage by its shuffle-INPUT size
+        # (payload + keys, ~MBs) while the join's real output expands by the
+        # payload bytes attached per URL, so the decode stage collapses to a
+        # handful of tasks (measured: 4-executor mult=8 leg fell to 60
+        # URLs/s/core). Broadcast the payload dim instead: it is config-
+        # bounded (n_payload rows — the synthetic stand-in for the fetch
+        # response; a real deployment fetches bytes inside the UDF and has
+        # no join here at all), and the join output then inherits the
+        # batch's host-bucket partitioning, giving decode one task per
+        # bucket exactly like the real fetch would.
         ok = b.filter(F.col("status") == 200)
         if cfg.batch_size <= cfg.distributed_batch_threshold:
-            ok = F.broadcast(ok)
-        joined = self.payload_df().join(ok, on="payload_idx", how="inner")
+            joined = self.payload_df().join(
+                F.broadcast(ok), on="payload_idx", how="inner"
+            )
+        else:
+            joined = ok.join(
+                F.broadcast(self.payload_df()), on="payload_idx", how="inner"
+            )
         decode_udf = self._decode_validate_udf()
         ok = joined.withColumn(
             "_v", decode_udf("bytes", "fmt", "w", "h", "phash", "payload_idx")

@@ -23,6 +23,20 @@ WORKLOAD = {
     "arrow_batch": "128",
 }
 
+# Amdahl probe: SPARK_GRAFT_SCALE_MULT=m multiplies the parallel work
+# (seeds, hosts, batch) by m while the per-epoch fixed cost (planning,
+# job-launch latency, driver commit protocol) stays constant — the measured
+# efficiency-vs-workload-size curve is the sandbox evidence that the serial
+# component amortizes at production scale.
+_MULT = int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "1"))
+if _MULT != 1:
+    WORKLOAD = dict(
+        WORKLOAD,
+        n_seed_urls=WORKLOAD["n_seed_urls"] * _MULT,
+        n_hosts=WORKLOAD["n_hosts"] * _MULT,
+        batch_size=WORKLOAD["batch_size"] * _MULT,
+    )
+
 
 def run_level(cores: int) -> dict:
     import shutil
