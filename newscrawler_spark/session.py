@@ -54,6 +54,19 @@ def get_spark(
         # only meaningful under a multi-executor master (local-cluster /
         # standalone / YARN); local[N] ignores it
         .config("spark.executor.memory", os.environ.get("SPARK_EXECUTOR_MEMORY", "4g"))
+        # executor python workers must find this package when the master
+        # forks real executor JVMs (local-cluster / standalone) — the
+        # in-process sys.path hack only covers the driver. Equivalent to
+        # spark-submit --py-files for an installed checkout.
+        .config(
+            "spark.executorEnv.PYTHONPATH",
+            os.pathsep.join(
+                p for p in (
+                    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    os.environ.get("PYTHONPATH", ""),
+                ) if p
+            ),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
     )

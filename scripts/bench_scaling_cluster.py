@@ -80,7 +80,9 @@ def main() -> None:
         "pairs": pairs,
         "best_eff": max(p["eff"] for p in pairs),
     }
-    with open(os.path.join(REPO, "scaling_cluster_r3.json"), "w") as f:
+    # raw last-run dump; the curated round evidence (scaling_cluster_r3.json)
+    # is assembled by hand from all runs and must not be clobbered
+    with open(os.path.join(REPO, "scaling_cluster_last_run.json"), "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out), flush=True)
 
