@@ -50,6 +50,16 @@ K_HASHES = 5
 DEFAULT_M_BITS = 1 << 17
 MAX_M_BITS = 1 << 27  # 16 MiB/bucket cap
 
+# Rebuilds size the bitmap for BUILD_HEADROOM x the current key count, so a
+# bucket absorbs ~4x growth through O(delta) incremental add_keys before
+# its next resize-rebuild (which rescans the bucket's seen slice). Without
+# headroom the exact-fit power-of-two sizing put ~every bucket one epoch
+# away from its resize boundary — measured at the mult=16 bench shape as a
+# 74 s seen+bloom commit tail (vs 13 s at mult=8) from epoch-1 rebuilds.
+# Cost: ≤4x bloom memory, still ≤ MAX_M_BITS/bucket; resizes amortize
+# geometrically like vector doubling.
+BUILD_HEADROOM = 4
+
 
 def _m_for(n_items: int) -> int:
     """Power-of-two bit count targeting ~e^-ln2 load: m = k*n/ln2."""
@@ -63,6 +73,34 @@ def _positions(url_hash: Column, m: Column | int) -> list[Column]:
         F.pmod(F.xxhash64(F.lit(i).cast("long"), url_hash), m)
         for i in range(K_HASHES)
     ]
+
+
+def _dense_scatter(words: DataFrame) -> DataFrame:
+    """(bucket, m, word_idx, word) sparse rows → (bucket, words, m) dense.
+
+    One vectorized numpy scatter per bucket (grouped Arrow batch). The
+    pure-JVM alternative — ``transform(sequence(0, W-1), w -> map[w])``
+    over a ``map_from_arrays`` — is O(W²): Spark maps are unsorted arrays,
+    so every ``element_at`` is a linear scan; at m=2^25 (W=524k words)
+    that construction measures in hours. The scatter is O(W) and runs in
+    the bloom MAINTENANCE path only — probes stay pure codegen.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = int(pdf["m"].iat[0])
+        arr = np.zeros(m // 64, dtype=np.int64)
+        idx = pdf["word_idx"].to_numpy()
+        np.bitwise_or.at(arr, idx, pdf["word"].to_numpy().astype(np.int64))
+        return pd.DataFrame(
+            {"bucket": [int(pdf["bucket"].iat[0])], "words": [arr.tolist()],
+             "m": [m]}
+        )
+
+    return words.groupBy("bucket").applyInPandas(
+        build, "bucket int, words array<long>, m int"
+    )
 
 
 def bloom_probe(words: Column, url_hash: Column, m: Column | int) -> Column:
@@ -99,7 +137,8 @@ class SeenBloom:
         if not counts:
             return self.table.current_snapshot_id()
         mdf = spark.createDataFrame(
-            [(b, _m_for(n)) for b, n in counts.items()], "bucket int, m int"
+            [(b, _m_for(BUILD_HEADROOM * n)) for b, n in counts.items()],
+            "bucket int, m int",
         )
         r2 = rows.join(F.broadcast(mdf), on="bucket")
         pos = r2.select(
@@ -124,22 +163,8 @@ class SeenBloom:
         counts_df = spark.createDataFrame(
             [(b, n) for b, n in counts.items()], "bucket int, n_items long"
         )
-        wm = words.groupBy("bucket", "m").agg(
-            F.map_from_arrays(
-                F.collect_list("word_idx"), F.collect_list("word")
-            ).alias("wm")
-        )
-        dense = wm.join(F.broadcast(counts_df), on="bucket").select(
-            "bucket",
-            F.transform(
-                F.sequence(F.lit(0), (F.col("m") / 64).cast("int") - 1),
-                lambda w: F.coalesce(
-                    F.element_at(F.col("wm"), w), F.lit(0).cast("long")
-                ),
-            ).alias("words"),
-            "m",
-            "n_items",
-        )
+        dense = _dense_scatter(words).join(F.broadcast(counts_df), on="bucket")
+        dense = dense.select("bucket", "words", "m", "n_items")
         return self.table.merge_upsert(spark, dense, "bucket", set_pointer=True)
 
     def add_keys(self, spark: SparkSession, delta: DataFrame) -> list[int]:
@@ -189,33 +214,31 @@ class SeenBloom:
         words = (
             pos.select(
                 "bucket",
+                "m",
                 (F.col("pos") / 64).cast("int").alias("word_idx"),
                 F.call_function(
                     "shiftleft", F.lit(1).cast("long"), (F.col("pos") % 64).cast("int")
                 ).alias("bit"),
             )
-            .groupBy("bucket", "word_idx")
+            .groupBy("bucket", "m", "word_idx")
             .agg(F.bit_or("bit").alias("word"))
         )
-        wm = words.groupBy("bucket").agg(
-            F.map_from_arrays(
-                F.collect_list("word_idx"), F.collect_list("word")
-            ).alias("wm")
+        # dense delta bitmap (linear scatter), then a linear zip_with OR —
+        # the old map-lookup transform was O(W x delta_words) per bucket
+        delta_dense = (
+            _dense_scatter(words).withColumnRenamed("words", "dwords").drop("m")
         )
         old = self.table.read(spark).select("bucket", "words", "m", "n_items")
         cdf = spark.createDataFrame(
             [(b, counts[b]) for b in ok], "bucket int, n_new long"
         )
         merged = (
-            old.join(wm, on="bucket")
+            old.join(delta_dense, on="bucket")
             .join(F.broadcast(cdf), on="bucket")
             .select(
                 "bucket",
-                F.transform(
-                    F.col("words"),
-                    lambda w, i: w.bitwiseOR(
-                        F.coalesce(F.element_at(F.col("wm"), i), F.lit(0).cast("long"))
-                    ),
+                F.zip_with(
+                    "words", "dwords", lambda a, b: a.bitwiseOR(b)
                 ).alias("words"),
                 "m",
                 (F.col("n_items") + F.col("n_new")).alias("n_items"),

@@ -4,6 +4,7 @@ equivalence with the plain exact anti-join, and per-bucket sizing."""
 import pytest
 from pyspark.sql import functions as F
 
+from newscrawler_spark.engine import seenfilter as SF
 from newscrawler_spark.engine.seenfilter import (
     BLOOM_DDL,
     DEFAULT_M_BITS,
@@ -94,7 +95,8 @@ def test_bloom_sized_from_item_count_keeps_fpp_low_at_1m_keys(spark, cat):
     bloom.rebuild_buckets(spark, seen, [0])
     row = bloom.table.read(spark).first()
     assert row["n_items"] == n
-    assert row["m"] == _m_for(n) > DEFAULT_M_BITS
+    # built with growth headroom: sized for BUILD_HEADROOM x current keys
+    assert row["m"] == _m_for(SF.BUILD_HEADROOM * n) > _m_for(n) > DEFAULT_M_BITS
     fresh = spark.range(10 * n, 10 * n + 100_000).select(
         F.xxhash64("id").alias("url_hash"), F.lit(0).cast("int").alias("bucket")
     )
@@ -173,4 +175,5 @@ def test_add_keys_flags_outgrown_buckets_for_resize(spark, cat):
     assert resize == [0]
     bloom.rebuild_buckets(spark, seen, resize)
     row = bloom.table.read(spark).first()
-    assert row["m"] == SF._m_for(100 + n_big) and row["n_items"] == 100 + n_big
+    assert row["m"] == SF._m_for(SF.BUILD_HEADROOM * (100 + n_big))
+    assert row["n_items"] == 100 + n_big
