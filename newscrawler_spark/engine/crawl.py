@@ -540,7 +540,9 @@ class CrawlEngine:
         rank) become dim-table joins: seed_url_dim (the seed list — a real
         table at 10^10 scale, auto-broadcast when small) and a 10k-row
         permille→rank broadcast. No Python touches the hot path; the only
-        ArrowEvalPython in the whole epoch is the decode UDF.
+        ArrowEvalPython in the epoch's QUERY path is the decode UDF (the
+        bloom commit task additionally runs seenfilter._dense_scatter, a
+        vectorized per-bucket bitmap scatter in the maintenance path).
         """
         cfg = self.cfg
         e = ok_hashes.withColumn(
