@@ -837,7 +837,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_ivf"] = q_ann_ivf
 
-    return q
+    # The driver's correctness gate records a bounded number of rows in
+    # registry order (50 in r03, vs 54 entries); keep every oracle-checkable
+    # query ahead of the rows-only ones so a row cap can only ever drop
+    # entries that would record "no_oracle" anyway.
+    with_oracle = set(oracle_sql())
+    return {k: q[k] for k in sorted(q, key=lambda k: k not in with_oracle)}
 
 
 # --------------------------------------------------------------------------
