@@ -31,6 +31,7 @@ bucket — no shuffle of the discovered side.
 
 from __future__ import annotations
 
+import logging
 import math
 from functools import reduce
 from operator import and_
@@ -60,11 +61,50 @@ MAX_M_BITS = 1 << 27  # 16 MiB/bucket cap
 # geometrically like vector doubling.
 BUILD_HEADROOM = 4
 
+# Above this aggregate bitmap size the probe join stops hinting broadcast
+# and shuffles on bucket instead (disc arrives bucket-partitioned from
+# select_batch, so the exchange is one-sided and bounded). At the 10^10-seen
+# design point the per-bucket blooms total ~k*n/ln2 bits ~= 9 GB — far past
+# any sane broadcast — while at test/bench scale they are a few MiB and the
+# broadcast path is strictly cheaper.
+BROADCAST_BLOOM_BYTES = 128 << 20
+
 
 def _m_for(n_items: int) -> int:
     """Power-of-two bit count targeting ~e^-ln2 load: m = k*n/ln2."""
     target = max(DEFAULT_M_BITS, K_HASHES * max(n_items, 1) / math.log(2))
     return min(MAX_M_BITS, 1 << math.ceil(math.log2(target)))
+
+
+def estimated_fpp(n_items: int, m_bits: int) -> float:
+    """Standard bloom fpp: (1 - e^(-k*n/m))^k."""
+    return (1.0 - math.exp(-K_HASHES * n_items / m_bits)) ** K_HASHES
+
+
+def required_bucket_count(n_seen_total: int) -> int:
+    """Smallest power-of-two bucket count at which every bucket's bitmap —
+    sized with BUILD_HEADROOM for growth — stays under MAX_M_BITS, so the
+    m-cap can never saturate a bloom into a no-op prefilter. At 10^10 seen
+    URLs this returns 2048 (vs the 128 default, whose 7.8e7-key buckets
+    would cap out at fpp ~0.75)."""
+    cap_keys = int(MAX_M_BITS * math.log(2) / (K_HASHES * BUILD_HEADROOM))
+    buckets = 1
+    while n_seen_total > buckets * cap_keys:
+        buckets *= 2
+    return buckets
+
+
+def check_bucket_sizing(counts: dict[int, int]) -> list[int]:
+    """Return buckets whose headroom-sized bitmap target exceeds MAX_M_BITS
+    (i.e. the pow-of-two sizing will silently cap and fpp will degrade).
+    Callers log/raise with a ``required_bucket_count`` recommendation;
+    correctness is unaffected either way (the exact anti-join is the
+    authority) — this guards the bloom's *usefulness* at scale."""
+    return sorted(
+        b
+        for b, n in counts.items()
+        if K_HASHES * BUILD_HEADROOM * max(n, 1) / math.log(2) > MAX_M_BITS
+    )
 
 
 def _positions(url_hash: Column, m: Column | int) -> list[Column]:
@@ -136,6 +176,18 @@ class SeenBloom:
         }
         if not counts:
             return self.table.current_snapshot_id()
+        saturated = check_bucket_sizing(counts)
+        if saturated:
+            worst = max(counts[b] for b in saturated)
+            cap_keys = int(MAX_M_BITS * math.log(2) / (K_HASHES * BUILD_HEADROOM))
+            factor = 1 << max(0, math.ceil(math.log2(worst / cap_keys)))
+            logging.getLogger(__name__).warning(
+                "bloom m-cap saturated for %d bucket(s) %s (worst %d keys vs "
+                "%d-key/bucket budget): fpp will degrade until the frontier "
+                "is re-bucketed to >= %dx the current bucket_count "
+                "(required_bucket_count gives the absolute sizing)",
+                len(saturated), saturated[:8], worst, cap_keys, factor,
+            )
         mdf = spark.createDataFrame(
             [(b, _m_for(BUILD_HEADROOM * n)) for b, n in counts.items()],
             "bucket int, m int",
@@ -270,7 +322,18 @@ class SeenBloom:
         blooms = self.table.read(spark).select("bucket", "words", "m")
         if stale_buckets:
             blooms = blooms.filter(~F.col("bucket").isin(list(stale_buckets)))
-        probed = disc.join(F.broadcast(blooms), on="bucket", how="left")
+        # Broadcast only while the aggregate bitmaps are genuinely small.
+        # The (bucket, m) metadata scan is column-pruned parquet — bounded
+        # by bucket_count rows, never touching the words arrays. Past the
+        # threshold the join shuffles on bucket instead (disc is already
+        # bucket-partitioned from select_batch, so only the tiny bloom side
+        # moves); at the 10^10-seen design point the bitmaps total ~9 GB
+        # and an unconditional broadcast would sink every executor.
+        meta = self.table.read(spark).select("bucket", "m").collect()
+        total_bytes = sum(int(r["m"]) // 8 for r in meta)
+        if total_bytes <= BROADCAST_BLOOM_BYTES:
+            blooms = F.broadcast(blooms)
+        probed = disc.join(blooms, on="bucket", how="left")
         hit = bloom_probe(F.col("words"), F.col("url_hash"), F.col("m"))
         definitely_new = probed.filter(F.col("words").isNotNull() & ~hit).drop(
             "words", "m"

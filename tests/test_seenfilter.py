@@ -125,6 +125,89 @@ def test_empty_bloom_falls_back_to_exact(spark, cat):
     assert out.count() == 5
 
 
+def test_split_new_shuffle_path_equals_exact(spark, cat, monkeypatch):
+    """Past the broadcast byte threshold split_new must shuffle the probe
+    join on bucket and still return exactly the exact-anti-join answer
+    (VERDICT r03 wrong #1). Threshold forced to 0 so the shuffle path runs
+    at test scale; auto-broadcast disabled so the plan genuinely exercises
+    the non-broadcast join."""
+    monkeypatch.setattr(SF, "BROADCAST_BLOOM_BYTES", 0)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        seen, bloom = _mk(spark, cat)
+        cand = spark.range(0, 100).union(spark.range(10_000, 10_100)).select(
+            F.xxhash64("id").alias("url_hash"),
+            F.pmod(F.xxhash64("id"), F.lit(8)).cast("int").alias("bucket"),
+        )
+        out = bloom.split_new(spark, cand, seen)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan
+        got = {r["url_hash"] for r in out.collect()}
+        exact = {
+            r["url_hash"]
+            for r in cand.join(
+                seen.read(spark).select("url_hash"), on="url_hash", how="left_anti"
+            ).collect()
+        }
+        assert got == exact
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucket_sizing_guard_at_design_point():
+    """10^10 seen URLs at the 128-bucket default saturates the m-cap
+    (7.8e7 keys/bucket -> fpp ~0.75); required_bucket_count returns a
+    power-of-two sizing at which every bucket's headroom-sized bitmap fits
+    under MAX_M_BITS and worst-case fpp (bucket grown to its full 4x
+    headroom, load k*n/m = ln2) stays well under 10%."""
+    n_total = 10**10
+    per_bucket_default = n_total // 128
+    assert SF.check_bucket_sizing({0: per_bucket_default}) == [0]
+    # the capped bitmap really is useless at that load
+    assert SF.estimated_fpp(per_bucket_default, SF.MAX_M_BITS) > 0.5
+    rb = SF.required_bucket_count(n_total)
+    assert rb & (rb - 1) == 0 and rb >= 1024
+    n_bucket = -(-n_total // rb)  # ceil
+    assert SF.check_bucket_sizing({0: n_bucket}) == []
+    m = SF._m_for(SF.BUILD_HEADROOM * n_bucket)
+    assert m <= SF.MAX_M_BITS
+    # worst case: bucket has consumed its whole growth headroom
+    assert SF.estimated_fpp(SF.BUILD_HEADROOM * n_bucket, m) < 0.10
+
+
+def test_fpp_under_10pct_at_full_headroom_load(spark, cat):
+    """Empirical twin of the design-point math at scaled-down m: grow a
+    bucket via add_keys to just below its resize threshold (the worst load
+    the sizing ever allows, k*n/m -> ln2) and measure fpp < 10%."""
+    seen = cat.table("seen", SEEN_DDL)
+    base = spark.range(0, 4000).select(
+        F.xxhash64("id").alias("url_hash"), F.lit(0).cast("int").alias("bucket")
+    )
+    seen.append(base)
+    bloom = SeenBloom(cat.table("b", BLOOM_DDL, partitioned=False))
+    bloom.rebuild_buckets(spark, seen, [0])
+    m0 = bloom.table.read(spark).first()["m"]
+    # fill to the densest state add_keys permits at this bitmap size
+    n_max = 18_000
+    assert SF._m_for(n_max) <= m0 < SF._m_for(SF.BUILD_HEADROOM * n_max)
+    delta = spark.range(100_000, 100_000 + n_max - 4000).select(
+        F.xxhash64("id").alias("url_hash"), F.lit(0).cast("int").alias("bucket")
+    )
+    seen.append(delta)
+    assert bloom.add_keys(spark, delta) == []
+    fresh = spark.range(10**7, 10**7 + 20_000).select(
+        F.xxhash64("id").alias("url_hash"), F.lit(0).cast("int").alias("bucket")
+    )
+    blooms = bloom.table.read(spark).select("bucket", "words", "m")
+    fp = (
+        fresh.join(F.broadcast(blooms), on="bucket")
+        .filter(bloom_probe(F.col("words"), F.col("url_hash"), F.col("m")))
+        .count()
+    )
+    assert fp / 20_000 < 0.10, f"fpp {fp / 20_000:.3f}"
+
+
 def test_incremental_add_keys_bit_identical_to_rebuild(spark, cat):
     """Bloom bits are an OR over keys: add_keys(delta) at unchanged m must
     produce the exact bitmap of a full rebuild over base ∪ delta."""
