@@ -117,6 +117,9 @@ class CrawlConfig:
     # of the batch into the payload join (VERDICT r01 perf #2)
     distributed_batch_threshold: int = 500_000
     use_bloom: bool = True       # bloom prefilter in front of the seen anti-join
+    # zone-map pruning of the per-epoch frontier scan via manifest stats
+    # (batch-identical by construction; see _frontier_scan_buckets)
+    prune_frontier_scan: bool = True
 
 
 class CrawlEngine:
@@ -133,7 +136,11 @@ class CrawlEngine:
         # surface works — the parquet+manifest twin (default) or
         # iceberg_backend.IcebergCatalog on a cluster with the runtime jar
         self.catalog = catalog if catalog is not None else Catalog(root)
-        self.frontier = self.catalog.table("frontier", FRONTIER_DDL)
+        # not_before/priority zone maps ride the manifest so select_batch
+        # can skip buckets that cannot contribute to this epoch's batch
+        self.frontier = self.catalog.table(
+            "frontier", FRONTIER_DDL, stats_cols=["not_before", "priority"]
+        )
         self.seen = self.catalog.table("seen", SEEN_DDL)
         self.store = self.catalog.table("store", STORE_DDL)
         # host_state/lineage tables are small: no bucket dirs, no
@@ -356,15 +363,79 @@ class CrawlEngine:
 
     # ------------------------------------------------------------ ranking
 
+    def _frontier_scan_buckets(self, epoch: int) -> list[int] | None:
+        """Manifest zone-map pruning for select_batch: the buckets worth
+        scanning this epoch, or None for "scan everything" (stats absent).
+
+        Two sound rules — the pruned scan is batch-IDENTICAL by
+        construction (gated by test_frontier_scan_pruning_batch_identical):
+
+        1. A bucket whose min(not_before) exceeds the epoch holds no
+           eligible row (the scan filter would drop every row anyway).
+        2. Bucket B cannot reach the batch when the buckets that strictly
+           dominate it (their min priority > B's max priority, so every
+           row outranks every row of B under rank_keys regardless of
+           tie-breaks) are guaranteed to supply >= batch_size
+           quota-surviving rows. Each dominating bucket C is credited
+           min(live_rows(C), host_quota) survivors — the per-host quota
+           keeps at least that many of C's rows even if one host owns the
+           whole bucket; live_rows = data - tombstones is itself a lower
+           bound under merge-on-read.
+
+        At the 10^10-row design point this is the difference between a
+        full-frontier window shuffle per epoch and scanning only the few
+        buckets whose zone maps say they can matter (VERDICT r03 wrong #2).
+        """
+        import bisect
+
+        stats = self.frontier.bucket_stats()
+        if stats is None:
+            return None
+        cfg = self.cfg
+        elig: dict[int, dict] = {}
+        for b, s in stats.items():
+            if s["n"] == 0 or not s["lo"]:
+                continue  # no rows at all: prune
+            if s["lo"]["not_before"] > epoch:
+                continue  # rule 1
+            elig[b] = s
+        if not elig:
+            return []
+        # rule 2: prefix-sum credits over buckets ordered by min-priority
+        # desc, then for each bucket count the strictly-dominating prefix
+        order = sorted(elig.values(), key=lambda s: -s["lo"]["priority"])
+        neg_mins = [-s["lo"]["priority"] for s in order]
+        credit = [min(max(s["n"] - s["tomb"], 0), cfg.host_quota) for s in order]
+        prefix = [0]
+        for c in credit:
+            prefix.append(prefix[-1] + c)
+        kept = []
+        for b, s in elig.items():
+            dominating = bisect.bisect_left(neg_mins, -s["hi"]["priority"])
+            if prefix[dominating] < cfg.batch_size:
+                kept.append(b)
+        return sorted(kept)
+
     def select_batch(self, epoch: int) -> DataFrame:
         """Politeness-gated, priority-ranked fetch batch for this epoch."""
         cfg = self.cfg
         if self.frontier.is_empty():
             return self.spark.createDataFrame([], FRONTIER_DDL)
-        eligible = self.frontier.read(self.spark).filter(F.col("not_before") <= epoch)
+        scan = self._frontier_scan_buckets(epoch) if cfg.prune_frontier_scan else None
+        self._last_scan_buckets = scan  # observability + test hook
+        if scan == []:
+            return self.spark.createDataFrame([], FRONTIER_DDL)
+        eligible = self.frontier.read(self.spark, buckets=scan).filter(
+            F.col("not_before") <= epoch
+        )
 
         if self._frontier_est is None:
-            self._frontier_est = self.frontier.read(self.spark).count()
+            stats = self.frontier.bucket_stats()
+            self._frontier_est = (
+                sum(max(s["n"] - s["tomb"], 0) for s in stats.values())
+                if stats is not None
+                else self.frontier.read(self.spark).count()
+            )
 
         # Phase 1: skew-safe overapproximation within (host, salt) — worth
         # its extra shuffle only once the frontier is big enough for a hot
@@ -694,8 +765,18 @@ class CrawlEngine:
             self._epoch_tmp = None
         mark("select_batch")
         if n_batch == 0:
-            # nothing eligible this epoch; pending retries may unlock later
-            n_left = 0 if self.frontier.is_empty() else self.frontier.read(spark).count()
+            # nothing eligible this epoch; pending retries may unlock later.
+            # The manifest row bound skips the full-frontier count unless it
+            # reaches 0 — then the exact count confirms "done" (the bound is
+            # a lower bound under merge-on-read, never an upper one).
+            stats = self.frontier.bucket_stats()
+            n_left = (
+                sum(max(s["n"] - s["tomb"], 0) for s in stats.values())
+                if stats is not None
+                else None
+            )
+            if not n_left:
+                n_left = 0 if self.frontier.is_empty() else self.frontier.read(spark).count()
             ck = self.catalog.last_checkpoint()
             self._checkpoint(epoch, ck["snapshots"] if ck else {})
             return {"epoch": epoch, "fetched": 0, "done": n_left == 0}

@@ -152,6 +152,14 @@ class IcebergTable:
             f"('{self._ident}', {int(sid)})"
         )
 
+    def bucket_stats(self, snapshot_id: int | None = None) -> None:
+        """No manifest-level zone maps exposed here: returning None makes
+        engine callers read the whole table and rely on Iceberg's own
+        file-stat scan pruning (min/max per data file) plus the pushed
+        ``not_before`` predicate — the native equivalent of what
+        tablelib.bucket_stats enables for the parquet twin."""
+        return None
+
     def max_dirs_per_bucket(self) -> int:
         """Read-amplification proxy: max data files in one partition."""
         rows = self.spark.sql(
@@ -269,8 +277,16 @@ class IcebergCatalog(Catalog):
         spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {namespace}")
 
     def table(
-        self, name: str, schema_ddl: str | None = None, partitioned: bool = True
+        self,
+        name: str,
+        schema_ddl: str | None = None,
+        partitioned: bool = True,
+        stats_cols: list[str] | None = None,
     ):
+        # stats_cols is accepted for interface parity and ignored: Iceberg
+        # keeps per-file column stats in its own manifests, and
+        # IcebergTable.bucket_stats() (None) makes readers fall back to
+        # letting Iceberg's scan planning do the pruning natively.
         if name not in self._tables:
             self._tables[name] = IcebergTable(
                 self.spark, self.namespace, name, schema_ddl, partitioned

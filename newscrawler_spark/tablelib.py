@@ -102,6 +102,11 @@ class Snapshot:
     # insert beats same-commit delete = MERGE delete-then-insert).
     deletes: dict[str, list[str]] = field(default_factory=dict)
     dir_seq: dict[str, int] = field(default_factory=dict)
+    # zone-map stats per data dir (Iceberg manifest column stats analog):
+    # {"n": row_count, "lo": {col: min}, "hi": {col: max}} gathered from
+    # parquet footers at commit time for tables created with stats_cols.
+    # Immutable per dir, carried forward by reference like entries.
+    dir_stats: dict[str, dict] = field(default_factory=dict)
 
     def to_json(self) -> str:
         return json.dumps(
@@ -113,6 +118,7 @@ class Snapshot:
                 "summary": self.summary,
                 "deletes": self.deletes,
                 "dir_seq": self.dir_seq,
+                "dir_stats": self.dir_stats,
             },
             sort_keys=True,
         )
@@ -123,6 +129,7 @@ class Snapshot:
         return Snapshot(
             d["snapshot_id"], d["parent_id"], d["operation"], d["entries"],
             d["summary"], d.get("deletes", {}), d.get("dir_seq", {}),
+            d.get("dir_stats", {}),
         )
 
 
@@ -152,6 +159,7 @@ class SnapshotTable:
         name: str,
         schema_ddl: str | None = None,
         partitioned: bool = True,
+        stats_cols: list[str] | None = None,
     ):
         self.dir = os.path.join(root, name)
         self.name = name
@@ -159,6 +167,9 @@ class SnapshotTable:
         # small lineage/state tables skip bucket dirs (no pruning need, and
         # a shuffle-per-commit would be pure overhead)
         self.partitioned = partitioned
+        # columns whose per-dir min/max zone maps are kept in the manifest
+        # (numeric only); enables bucket_stats() pruning for readers
+        self.stats_cols = list(stats_cols or [])
         self._commit_lock = threading.RLock()
         os.makedirs(os.path.join(self.dir, "manifests"), exist_ok=True)
         os.makedirs(os.path.join(self.dir, "data"), exist_ok=True)
@@ -290,6 +301,99 @@ class SnapshotTable:
     def next_sid(self) -> int:
         return max(self.history()) + 1
 
+    def _footer_stats(self, rel_dirs: list[str]) -> dict[str, dict]:
+        """Gather {n, lo, hi} per data dir from parquet footers — the same
+        column stats an Iceberg writer records in its manifest files, read
+        here driver-side at O(files-per-commit) cost (one footer per bucket
+        per commit; on a real cluster the write tasks would report these).
+        Columns with missing/non-numeric footer stats are omitted, which
+        readers must treat as "unbounded". Counted as driver-resident
+        commit time."""
+        global _driver_commit_ns
+        import pyarrow.parquet as pq
+
+        t0 = time.perf_counter_ns()
+        out: dict[str, dict] = {}
+        want = set(self.stats_cols)
+        for rel in rel_dirs:
+            full = os.path.join(self.dir, rel)
+            try:
+                files = [f for f in os.listdir(full) if f.endswith(".parquet")]
+            except FileNotFoundError:
+                continue
+            n = 0
+            lo: dict[str, Any] = {}
+            hi: dict[str, Any] = {}
+            bad: set[str] = set()
+            for fn in files:
+                md = pq.read_metadata(os.path.join(full, fn))
+                n += md.num_rows
+                for gi in range(md.num_row_groups):
+                    rg = md.row_group(gi)
+                    for ci in range(rg.num_columns):
+                        col = rg.column(ci)
+                        name = col.path_in_schema
+                        if name not in want or name in bad:
+                            continue
+                        st = col.statistics
+                        if (
+                            st is None
+                            or not st.has_min_max
+                            or isinstance(st.min, bool)
+                            or not isinstance(st.min, (int, float))
+                        ):
+                            bad.add(name)
+                            continue
+                        lo[name] = st.min if name not in lo else min(lo[name], st.min)
+                        hi[name] = st.max if name not in hi else max(hi[name], st.max)
+            for b in bad:
+                lo.pop(b, None)
+                hi.pop(b, None)
+            out[rel] = {"n": n, "lo": lo, "hi": hi}
+        with _driver_commit_lock:
+            _driver_commit_ns += time.perf_counter_ns() - t0
+        return out
+
+    def bucket_stats(self, snapshot_id: int | None = None) -> dict[int, dict] | None:
+        """Aggregate the manifest zone maps per bucket:
+        ``{bucket: {"n": data_rows, "tomb": tombstone_rows, "lo": {...},
+        "hi": {...}}}``. Returns None when the table keeps no stats, isn't
+        bucket-partitioned, or any live dir predates stats collection —
+        callers then fall back to a full scan. ``n - tomb`` is a LOWER
+        bound on live rows (tombstones may overcount: a key deleted twice,
+        or never present); lo/hi stay conservative under merge-on-read
+        deletes (a deleted extremum only widens the range)."""
+        if not self.stats_cols or not self.partitioned:
+            return None
+        snap = self.snapshot(snapshot_id)
+        out: dict[int, dict] = {}
+        for b, dirs in snap.entries.items():
+            if b == "all":
+                return None
+            n = 0
+            lo: dict[str, Any] = {}
+            hi: dict[str, Any] = {}
+            for d in dirs:
+                s = snap.dir_stats.get(d)
+                if s is None:
+                    return None
+                n += s["n"]
+                if s["n"] == 0:
+                    continue  # an empty dir constrains nothing
+                for c in self.stats_cols:
+                    if c not in s["lo"]:
+                        return None  # footer stats unavailable for this col
+                    lo[c] = min(lo.get(c, s["lo"][c]), s["lo"][c])
+                    hi[c] = max(hi.get(c, s["hi"][c]), s["hi"][c])
+            tomb = 0
+            for d in snap.deletes.get(b, []):
+                s = snap.dir_stats.get(d)
+                if s is None:
+                    return None
+                tomb += s["n"]
+            out[int(b)] = {"n": n, "tomb": tomb, "lo": lo, "hi": hi}
+        return out
+
     def _commit(
         self,
         entries: dict[str, list[str]],
@@ -312,7 +416,16 @@ class SnapshotTable:
             d for dirs in deletes.values() for d in dirs
         }
         dir_seq = {d: s for d, s in dir_seq.items() if d in live}
-        snap = Snapshot(sid, parent, op, entries, summary, deletes, dir_seq)
+        dir_stats: dict[str, dict] = {}
+        if self.stats_cols:
+            dir_stats = dict(parent_snap.dir_stats)
+            dir_stats.update(
+                self._footer_stats([d for d in sorted(live) if d not in dir_stats])
+            )
+            dir_stats = {d: s for d, s in dir_stats.items() if d in live}
+        snap = Snapshot(
+            sid, parent, op, entries, summary, deletes, dir_seq, dir_stats
+        )
         self._write_manifest(snap)
         if set_pointer:
             self.set_current(sid)
@@ -604,10 +717,16 @@ class Catalog:
         self._tables: dict[str, SnapshotTable] = {}
 
     def table(
-        self, name: str, schema_ddl: str | None = None, partitioned: bool = True
+        self,
+        name: str,
+        schema_ddl: str | None = None,
+        partitioned: bool = True,
+        stats_cols: list[str] | None = None,
     ) -> SnapshotTable:
         if name not in self._tables:
-            self._tables[name] = SnapshotTable(self.root, name, schema_ddl, partitioned)
+            self._tables[name] = SnapshotTable(
+                self.root, name, schema_ddl, partitioned, stats_cols
+            )
         elif schema_ddl and self._tables[name].schema_ddl is None:
             self._tables[name].schema_ddl = schema_ddl
         return self._tables[name]

@@ -437,3 +437,54 @@ def test_topk_distributed_tie_robust(spark, small_cfg, tmp_path_factory):
     )
     assert rows2 == want2
     eng._epoch_tmp.unpersist()
+
+
+def test_frontier_scan_pruning_batch_identical(spark, tmp_path_factory):
+    """VERDICT r03 next #3: a multi-bucket frontier where most buckets are
+    zone-map-prunable (future not_before, or priority-dominated) must yield
+    the IDENTICAL batch while scanning only the relevant buckets."""
+    import datetime as dt
+
+    from newscrawler_spark.engine.crawl import FRONTIER_DDL, CrawlConfig
+
+    cfg = CrawlConfig(
+        n_hosts=20, n_payload=50, n_seed_urls=50, batch_size=10,
+        host_quota=5, bucket_count=16, salt_buckets=1,
+    )
+    eng = CrawlEngine(spark, str(tmp_path_factory.mktemp("prune")), cfg)
+    t0 = dt.datetime(2024, 1, 1)
+    rows, h = [], 0
+    for b in range(16):
+        if b < 4:        # hot: high priority, eligible
+            prio, nb, n = 100.0 + b, 0, 12
+        elif b < 10:     # dominated: low priority, eligible
+            prio, nb, n = 1.0 + b / 100, 0, 12
+        else:            # asleep: retry backoff far in the future
+            prio, nb, n = 500.0, 99, 12
+        for i in range(n):
+            h = b * 100 + i
+            rows.append((
+                f"https://h{b}-{i % 3}.test/p{h}", f"https://h{b}-{i % 3}.test/p{h}",
+                f"h{b}-{i % 3}.test", h, b * 3 + i % 3, b, prio + i / 1000.0,
+                t0, "cat", "en", 0, nb,
+            ))
+    eng.frontier.overwrite(spark.createDataFrame(rows, FRONTIER_DDL))
+
+    pruned = eng.select_batch(0)
+    got_pruned = sorted(r["url_hash"] for r in pruned.collect())
+    # buckets 10-15 pruned by rule 1 (not_before 99 > epoch 0); buckets
+    # 0-1 and 4-9 pruned by dominance (buckets 2+3 alone credit
+    # 2 x host_quota = batch_size survivors above their max priority)
+    assert eng._last_scan_buckets == [2, 3], eng._last_scan_buckets
+
+    eng.cfg.prune_frontier_scan = False
+    full = eng.select_batch(0)
+    got_full = sorted(r["url_hash"] for r in full.collect())
+    assert eng._last_scan_buckets is None
+    assert got_pruned == got_full and len(got_pruned) == cfg.batch_size
+
+    # rule-1 only: at epoch 99 the asleep buckets wake and dominate
+    eng.cfg.prune_frontier_scan = True
+    woke = eng.select_batch(99)
+    assert eng._last_scan_buckets == [10, 11, 12, 13, 14, 15]
+    assert all(r["priority"] >= 500.0 for r in woke.collect())

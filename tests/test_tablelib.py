@@ -215,3 +215,45 @@ def test_concurrent_appends_never_lose_a_commit(spark, tmp_path):
     assert t.read(spark).count() == 80
     # history is a contiguous chain: every append has a distinct manifest
     assert set(sids) <= set(t.history())
+
+
+def test_bucket_stats_zone_maps(spark, cat):
+    """Manifest zone maps: per-bucket n/lo/hi from parquet footers, carried
+    forward by reference through COW merges like the data dirs themselves."""
+    sddl = "k long, bucket int, v double"
+    t = cat.table("t", sddl, stats_cols=["k", "v"])
+    t.append(spark.createDataFrame([(1, 0, 5.0), (9, 0, 1.0), (4, 1, 2.5)], sddl))
+    st = t.bucket_stats()
+    assert st[0] == {"n": 2, "tomb": 0, "lo": {"k": 1, "v": 1.0}, "hi": {"k": 9, "v": 5.0}}
+    assert st[1] == {"n": 1, "tomb": 0, "lo": {"k": 4, "v": 2.5}, "hi": {"k": 4, "v": 2.5}}
+    dirs0 = t.snapshot().entries["0"]
+    t.merge_upsert(spark, spark.createDataFrame([(4, 1, 7.0)], sddl), "k")
+    st2 = t.bucket_stats()
+    assert t.snapshot().entries["0"] == dirs0  # untouched bucket: same dirs
+    assert st2[0] == st[0]  # ... and same stats, no recompute
+    assert st2[1]["hi"]["v"] == 7.0
+
+
+def test_bucket_stats_mor_tombstones_lower_bound(spark, cat):
+    """Under merge-on-read deletes the zone maps stay conservative: tomb
+    counts make n - tomb a live-row lower bound; lo/hi may be stale-wide
+    (a deleted extremum) but never narrower than the data."""
+    sddl = "k long, bucket int, v double"
+    t = cat.table("t", sddl, stats_cols=["k"])
+    t.append(spark.createDataFrame([(i, 0, float(i)) for i in range(10)], sddl))
+    dels = spark.createDataFrame([(0, 0, 0.0), (9, 0, 0.0)], sddl).select("k", "bucket")
+    t.merge_delta(spark, dels, None, "k", mode="mor")
+    st = t.bucket_stats()
+    assert st[0]["n"] == 10 and st[0]["tomb"] == 2
+    assert st[0]["n"] - st[0]["tomb"] == t.read(spark).count()
+    # extremes were deleted but the bound only widens, never narrows
+    assert st[0]["lo"]["k"] <= 1 and st[0]["hi"]["k"] >= 8
+    t.compact(spark)
+    st2 = t.bucket_stats()
+    assert st2[0] == {"n": 8, "tomb": 0, "lo": {"k": 1}, "hi": {"k": 8}}
+
+
+def test_bucket_stats_absent_without_stats_cols(spark, cat):
+    t = cat.table("t", DDL)
+    t.append(_df(spark, [(1, 0, "a")]))
+    assert t.bucket_stats() is None
