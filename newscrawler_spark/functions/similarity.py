@@ -335,3 +335,20 @@ def ivf_topk(
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+def ivf_write_index(indexed: DataFrame, path: str) -> None:
+    """Persist the IVF index PARTITIONED BY the centroid list id.
+
+    This is what makes the nprobe claim physical: ``ivf_topk`` over the
+    read-back table compiles its ``_cid IN (probes)`` filter into scan-level
+    PartitionFilters, so a query reads only the nprobe probed directories —
+    never a full scan — exactly Iceberg ``PARTITIONED BY (_cid)`` behavior.
+    Gated by test_ivf_partitioned_index_prunes_scan + PLANS.md §11."""
+    indexed.write.mode("overwrite").partitionBy("_cid").parquet(path)
+
+
+def ivf_read_index(spark, path: str) -> DataFrame:
+    """Read a persisted IVF index (partition column ``_cid`` is restored
+    as a regular int column by the parquet partition discovery)."""
+    return spark.read.parquet(path)

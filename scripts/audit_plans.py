@@ -196,6 +196,29 @@ def main() -> int:
     if not ok10:
         failures.append("sessionize-exchange")
 
+    # 11. IVF ANN over the persisted index: the probe filter compiles to
+    # scan-level PartitionFilters on _cid — a query reads nprobe partition
+    # dirs, never the full index (the Iceberg PARTITIONED BY (_cid) analog).
+    from newscrawler_spark.functions import similarity as SIM
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = SIM.ivf_train(emb, "embedding", n_centroids=16, seed=42)
+    ivf_dir = tempfile.mkdtemp(prefix="audit-ivf-")
+    SIM.ivf_write_index(SIM.ivf_index(emb, "embedding", cents), ivf_dir)
+    qvec = list(emb.filter("vec_id = 0").first()["embedding"])
+    q11 = SIM.ivf_topk(
+        SIM.ivf_read_index(spark, ivf_dir), "embedding", cents, qvec, k=10, nprobe=4
+    )
+    p11 = plan_of(q11)
+    after = p11.split("PartitionFilters", 1)
+    ok11 = len(after) == 2 and "_cid" in after[1][:250]
+    report.append(
+        f"## IVF query: _cid probe list in PartitionFilters (scan prunes to "
+        f"nprobe dirs): {'OK' if ok11 else 'FAIL'}\n```\n{p11}\n```\n"
+    )
+    if not ok11:
+        failures.append("ivf-partition-pruning")
+
     with open("PLANS.md", "w") as f:
         f.write("\n".join(report))
     print("audit:", "ALL OK" if not failures else f"FAILURES: {failures}")

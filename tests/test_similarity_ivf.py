@@ -81,3 +81,40 @@ def test_ivf_query_vector_is_its_own_nearest(spark):
         ).first()
         assert top["vec_id"] == r["vec_id"]
     idx.unpersist()
+
+
+def test_ivf_partitioned_index_prunes_scan(spark, tmp_path):
+    """VERDICT r03 next #5 — the nprobe claim made physical: the persisted
+    index is PARTITIONED BY _cid, ivf_topk's probe filter reaches the scan
+    as PartitionFilters, every file actually read lives in a probed
+    partition dir, and the result matches the in-memory index."""
+    import re
+
+    emb = _emb(spark, SF001)
+    cents = SIM.ivf_train(emb, "embedding", n_centroids=8, seed=42)
+    idx = SIM.ivf_index(emb, "embedding", cents)
+    path = str(tmp_path / "ivf_index")
+    SIM.ivf_write_index(idx, path)
+    table = SIM.ivf_read_index(spark, path)
+
+    q = list(emb.filter("vec_id = 3").first()["embedding"])
+    out = SIM.ivf_topk(table, "embedding", cents, q, k=5, nprobe=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "_cid" in plan.split("PartitionFilters", 1)[1][:250]
+
+    qv = np.asarray(q, dtype=np.float64)
+    qv = qv / np.linalg.norm(qv)
+    probes = {int(c) for c in np.argsort(-(cents @ qv))[:3]}
+    files = {
+        r["f"]
+        for r in table.filter(F.col("_cid").isin(list(probes)))
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    }
+    got_cids = {int(re.search(r"_cid=(\d+)/", f).group(1)) for f in files}
+    assert files and got_cids <= probes
+
+    mem = [r["vec_id"] for r in SIM.ivf_topk(idx, "embedding", cents, q, k=5, nprobe=3).collect()]
+    assert [r["vec_id"] for r in out.collect()] == mem
