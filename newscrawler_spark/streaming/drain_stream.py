@@ -107,6 +107,21 @@ POLITE_OUT_SCHEMA = "host string, ts timestamp, admitted boolean"
 POLITE_STATE_SCHEMA = "last_ts timestamp"
 
 
+def _admit_seq(host: str, ts_values, last, min_interval_s: float):
+    """The one greedy clock: admit iff >= min_interval since the last
+    admitted fetch, which then advances. Shared by the streaming operator
+    and its batch twin so their equivalence test gates exactly the
+    cross-micro-batch state handling, not two divergent reimplementations."""
+    rows = []
+    for ts in ts_values:
+        t = ts.to_pydatetime()
+        ok = last is None or (t - last).total_seconds() >= min_interval_s
+        if ok:
+            last = t
+        rows.append((host, t, ok))
+    return rows, last
+
+
 def _politeness_fn(min_interval_s: float):
     def fn(
         key: tuple,
@@ -115,14 +130,8 @@ def _politeness_fn(min_interval_s: float):
     ) -> Iterator[pd.DataFrame]:
         (host,) = key
         last = state.get[0] if state.exists else None
-        rows = []
         events = pd.concat(list(pdfs)).sort_values("ts")
-        for ts in events["ts"]:
-            t = ts.to_pydatetime()
-            ok = last is None or (t - last).total_seconds() >= min_interval_s
-            if ok:
-                last = t
-            rows.append((host, t, ok))
+        rows, last = _admit_seq(host, events["ts"], last, min_interval_s)
         if last is not None:
             state.update((last,))
         yield pd.DataFrame(rows, columns=["host", "ts", "admitted"])
@@ -141,6 +150,23 @@ def politeness_clock_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def politeness_clock_batch(
+    events: DataFrame, min_interval_s: float = 2.0
+) -> DataFrame:
+    """Batch twin of :func:`politeness_clock_stream`: the same greedy
+    per-host clock over the full event history in one pass (one shuffle on
+    host, Arrow-grouped). Ties T2's two implementations together — the
+    equivalence test runs the stream in multiple micro-batches so any
+    state-carry bug between batches would diverge from this twin."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts")
+        rows, _ = _admit_seq(pdf["host"].iat[0], pdf["ts"], None, min_interval_s)
+        return pd.DataFrame(rows, columns=["host", "ts", "admitted"])
+
+    return events.groupBy("host").applyInPandas(fn, POLITE_OUT_SCHEMA)
 
 
 def windowed_fetch_metrics(events: DataFrame, window: str = "1 minute") -> DataFrame:
