@@ -99,15 +99,24 @@ def bench_drain(spark) -> dict:
         eng.payload_df().count()  # warm the payload cache outside the timer
         t0 = time.time()
         eng.bootstrap(seeds)
+        boot = time.time() - t0
         fetched = 0
+        phases: dict[str, float] = {}
         for e in range(DRAIN["epochs"]):
             st = eng.run_epoch(e)
             fetched += st["fetched"]
+            for name, sec in getattr(eng, "_last_epoch_marks", []):
+                phases[name] = phases.get(name, 0.0) + sec
         wall = time.time() - t0
+        # phase split so the next regression names its phase
+        # (select/fetch/expand/commit; "bootstrap" is the one-off seed leg)
+        phases = {k: round(v, 2) for k, v in phases.items()}
+        phases["bootstrap"] = round(boot, 2)
         return {
             "drain_sec": round(wall, 3),
             "drain_urls": fetched,
             "drain_urls_per_sec": round(fetched / wall, 2),
+            "drain_phases": phases,
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -128,6 +137,7 @@ def main() -> None:
         "cpus": CPUS,
         "drain_urls": drain["drain_urls"],
         "drain_urls_per_sec": drain["drain_urls_per_sec"],
+        "drain_phases": drain["drain_phases"],
     }
     print(json.dumps(result))
     spark.stop()

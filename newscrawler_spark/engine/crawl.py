@@ -750,11 +750,13 @@ class CrawlEngine:
         _t = _time.time()
 
         def mark(name: str) -> None:
+            # always recorded (one clock read per phase): run_epoch exposes
+            # the split via _last_epoch_marks so the bench can report which
+            # phase a regression lives in; printing stays CRAWL_PROFILE-gated
             nonlocal _t
-            if profile:
-                now = _time.time()
-                marks.append((name, round(now - _t, 2)))
-                _t = now
+            now = _time.time()
+            marks.append((name, round(now - _t, 2)))
+            _t = now
 
         cfg = self.cfg
         spark = self.spark
@@ -779,6 +781,7 @@ class CrawlEngine:
                 n_left = 0 if self.frontier.is_empty() else self.frontier.read(spark).count()
             ck = self.catalog.last_checkpoint()
             self._checkpoint(epoch, ck["snapshots"] if ck else {})
+            self._last_epoch_marks = marks
             return {"epoch": epoch, "fetched": 0, "done": n_left == 0}
 
         # cache-aside split (reference article_extractor.py:412-479): batch
@@ -1168,6 +1171,7 @@ class CrawlEngine:
 
         if profile:
             print(f"[profile] epoch {epoch}: " + ", ".join(f"{n}={s}s" for n, s in marks), flush=True)
+        self._last_epoch_marks = marks
         from .. import tablelib as _tl
 
         stats = {
