@@ -41,12 +41,15 @@ def run(n_exec: int, mult: int) -> dict:
     env["SPARK_GRAFT_SCALE_MULT"] = str(mult)
     env["SPARK_GRAFT_IMG_SIZES"] = "256"
     env["SPARK_GRAFT_ARROW_BATCH"] = "128"
+    env["CRAWL_PROFILE"] = "1"  # per-epoch phase marks -> leg log (residue split)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     cores_total = n_exec * EXEC_CORES
     out = subprocess.run(
         [sys.executable, RUNNER, "--run", str(cores_total)],
         env=env, capture_output=True, text=True, timeout=5400,
     )
+    with open(os.path.join(REPO, f"scaling_leg_{n_exec}exec_m{mult}.log"), "w") as f:
+        f.write(out.stdout + "\n--- stderr (tail) ---\n" + out.stderr[-20000:])
     line = out.stdout.strip().splitlines()[-1]
     r = json.loads(line)
     r["n_executors"] = n_exec
