@@ -21,7 +21,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-LEVELS = (4, 16)
+LEVELS = (4, 16)  # default N and 4N worker counts; override with argv[3] "2,8"
 
 
 def _work(args) -> int:
@@ -62,6 +62,10 @@ def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 4000
     size = sys.argv[2] if len(sys.argv) > 2 else "256"
     os.environ["SPARK_GRAFT_IMG_SIZES"] = size
+    global LEVELS
+    if len(sys.argv) > 3:
+        LEVELS = tuple(int(x) for x in sys.argv[3].split(","))
+        assert len(LEVELS) == 2 and LEVELS[1] == 4 * LEVELS[0]
     # interleave levels twice to ride out host noise; report best-of
     reps: dict[int, list[float]] = {c: [] for c in LEVELS}
     for _ in range(2):

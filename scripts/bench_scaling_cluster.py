@@ -29,8 +29,12 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
 RUNNER = os.path.join(HERE, "bench_scaling_final.py")
 
-EXEC_CORES = 4
-EXEC_MEM_MB = 18432
+# Per-executor shape is identical across the pair (scaling OUT, like adding
+# nodes). Default 4 cores/executor; SCALING_EXEC_CORES overrides — e.g. 2 for
+# a 1x2-vs-4x2 pair whose total core count stays under the box's DRAM
+# saturation knee.
+EXEC_CORES = int(os.environ.get("SCALING_EXEC_CORES", "4"))
+EXEC_MEM_MB = int(os.environ.get("SCALING_EXEC_MEM_MB", "18432"))
 
 
 def run(n_exec: int, mult: int) -> dict:
@@ -48,7 +52,9 @@ def run(n_exec: int, mult: int) -> dict:
         [sys.executable, RUNNER, "--run", str(cores_total)],
         env=env, capture_output=True, text=True, timeout=5400,
     )
-    with open(os.path.join(REPO, f"scaling_leg_{n_exec}exec_m{mult}.log"), "w") as f:
+    with open(
+        os.path.join(REPO, f"scaling_leg_{n_exec}exec_{EXEC_CORES}c_m{mult}.log"), "w"
+    ) as f:
         f.write(out.stdout + "\n--- stderr (tail) ---\n" + out.stderr[-20000:])
     line = out.stdout.strip().splitlines()[-1]
     r = json.loads(line)
