@@ -145,8 +145,14 @@ def _pixels(i: int, w: int, h: int, rng: np.random.Generator) -> np.ndarray:
     y = np.arange(h, dtype=np.int32)
     base = (x[None, :] * 3 + y[:, None] * 5 + i) % 256
     off = np.array([0, 85, 170], dtype=np.int32)
+    # accumulate in place into the noise buffer — same values mod 256, no
+    # int32 broadcast temporaries (this runs once per validated URL via
+    # expected_pixels, so its DRAM traffic bounds decode-phase scaling)
     noise = rng.integers(0, 32, size=(h, w, 3), dtype=np.int32)
-    return ((base[:, :, None] + off[None, None, :] + noise) % 256).astype(np.uint8)
+    noise += base[:, :, None]
+    noise += off[None, None, :]
+    noise %= 256
+    return noise.astype(np.uint8)
 
 
 def payload_row(i: int, seed: int) -> tuple:

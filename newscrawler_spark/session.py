@@ -42,7 +42,14 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(n, 8)))
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(
+                shuffle_partitions
+                or int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTS", "0"))
+                or max(n, 8)
+            ),
+        )
         .config("spark.default.parallelism", str(n))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_MAX_RECORDS))
