@@ -44,6 +44,14 @@ def encode_ppm(arr: np.ndarray) -> bytes:
 
 
 def decode_ppm(data: bytes) -> np.ndarray:
+    """Decode a P6 PPM.
+
+    Returns a READ-ONLY zero-copy view aliasing ``data`` (in-place ops on
+    the result raise ValueError; copy first to mutate), and the view keeps
+    the whole payload — header included — alive for the array's lifetime.
+    Chosen deliberately: the decode path is DRAM-bandwidth bound and the
+    avoided raster copy is a measured multi-core scaling win.
+    """
     if not data.startswith(b"P6"):
         raise ValueError("not a P6 PPM")
     # header: magic, whitespace, w, h, maxval, single whitespace, raster.
@@ -149,7 +157,14 @@ def decode(data: bytes, fmt: str) -> np.ndarray:
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
-    """Peak signal-to-noise ratio in dB; inf for identical images."""
+    """Peak signal-to-noise ratio in dB; inf for identical images.
+
+    uint8-only by contract: the integer-domain accumulation below is exact
+    for byte images but would truncate float inputs and can overflow wide
+    integer dtypes, so non-uint8 inputs fail loudly.
+    """
+    if a.dtype != np.uint8 or b.dtype != np.uint8:
+        raise TypeError(f"psnr expects uint8 images, got {a.dtype}/{b.dtype}")
     # integer-domain MSE: one int32 temp instead of two float64 images plus
     # a float64 square (~6x less memory traffic). Bit-identical result —
     # squared byte diffs are exact in float64 and the pairwise float sum of

@@ -38,6 +38,12 @@ def get_spark(
     """
     n = cores or default_parallelism()
     master = os.environ.get("SPARK_MASTER", f"local[{n}]")
+    # Deployment rule (BENCH.md §2): multi-executor masters (local-cluster /
+    # standalone / YARN) need >= 4x total cores of shuffle partitions or the
+    # expand/commit window starves (measured: store merge queued 123s -> 3s).
+    # Single-JVM local[N] is fastest near 1x cores (per-task overhead wins at
+    # sf0.1), so only the multi-executor default changes.
+    sp_default = max(n, 8) if master.startswith("local[") else max(4 * n, 32)
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -47,7 +53,7 @@ def get_spark(
             str(
                 shuffle_partitions
                 or int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTS", "0"))
-                or max(n, 8)
+                or sp_default
             ),
         )
         .config("spark.default.parallelism", str(n))

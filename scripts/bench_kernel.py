@@ -65,7 +65,12 @@ def main() -> None:
     global LEVELS
     if len(sys.argv) > 3:
         LEVELS = tuple(int(x) for x in sys.argv[3].split(","))
-        assert len(LEVELS) == 2 and LEVELS[1] == 4 * LEVELS[0]
+        if len(LEVELS) != 2 or LEVELS[1] != 4 * LEVELS[0]:
+            raise SystemExit(
+                f"usage: bench_kernel.py [n_images] [img_size] [N,4N] — "
+                f"levels must be exactly two with the second 4x the first, "
+                f"got {sys.argv[3]!r}"
+            )
     # interleave levels twice to ride out host noise; report best-of
     reps: dict[int, list[float]] = {c: [] for c in LEVELS}
     for _ in range(2):

@@ -10,12 +10,14 @@ as concurrency x batch grew inside ONE shared heap, a pathology a real
 multi-executor deployment does not have because each executor GCs its own
 bounded heap.
 
-Pair: local-cluster[1,4,M] (N=1 executor) vs local-cluster[4,4,M] (4N).
+Pair: local-cluster[1,C,M] (N=1 executor) vs local-cluster[4,C,M] (4N),
+where C = $SCALING_EXEC_CORES (default 4) and M = $SCALING_EXEC_MEM_MB.
 Same per-executor cores and memory — scaling out, exactly like adding
 cluster nodes.
 
 Usage: python scripts/bench_scaling_cluster.py [mult] [reps]
-Writes scaling_cluster_r3.json.
+Writes scaling_cluster_last_run.json (raw); the curated per-round evidence
+files (scaling_cluster_r*.json) are assembled by hand from the runs.
 """
 
 from __future__ import annotations
@@ -81,10 +83,12 @@ def main() -> None:
         print(json.dumps(pairs[-1]), flush=True)
     out = {
         "protocol": (
-            "local-cluster[n,4,18g]: n real executor JVMs (own heap, real "
-            "shuffle/broadcast transport) on one box — N=1 vs 4N=4 "
-            "executors, same per-executor cores+memory"
+            f"local-cluster[n,{EXEC_CORES},{EXEC_MEM_MB}m]: n real executor "
+            "JVMs (own heap, real shuffle/broadcast transport) on one box — "
+            "N=1 vs 4N=4 executors, same per-executor cores+memory"
         ),
+        "exec_cores": EXEC_CORES,
+        "exec_mem_mb": EXEC_MEM_MB,
         "workload_mult": mult,
         "pairs": pairs,
         "best_eff": max(p["eff"] for p in pairs),
