@@ -987,10 +987,19 @@ class CrawlEngine:
                 disc = self.expand_jvm(ok_hashes)
                 disc = with_url_identity(disc, "url", cfg.bucket_count)
                 disc = disc.join(self._gated_dim(), on="host", how="left_anti")
-                wd = Window.partitionBy("url_hash").orderBy(F.col("url").asc())
-                disc = disc.withColumn("_rn", F.row_number().over(wd)).filter(
-                    F.col("_rn") == 1
-                ).drop("_rn")
+                # dedup discovered URLs on identity hash, keeping the
+                # lexicographically-smallest raw url as the representative
+                # (same pick as a row_number-over-(url asc) window, which
+                # this replaced): min_by is a partial aggregate, so the
+                # expansion's heavy duplication collapses map-side before
+                # the shuffle and nothing is sorted — the window variant
+                # shuffled every duplicate then sorted each hash group.
+                _rest = [c for c in disc.columns if c != "url_hash"]
+                disc = (
+                    disc.groupBy("url_hash")
+                    .agg(F.min_by(F.struct(*_rest), F.col("url")).alias("_r"))
+                    .select("url_hash", "_r.*")
+                )
                 if cfg.use_bloom:
                     # partitioned bloom prefilter; exact anti-join remains the
                     # authority for the maybe-seen slice AND for stale buckets
@@ -1036,11 +1045,28 @@ class CrawlEngine:
                 )
 
             def seen_bloom_task():
-                seen_id = (
-                    self.seen.append(discovered.select("url_hash", "bucket"))
-                    if n_discovered
-                    else self.seen.current_snapshot_id()
-                )
+                # the seen append and the bloom OR-in read the same cached
+                # delta but write DIFFERENT tables, and add_keys never scans
+                # seen — only the (rare) resize rebuild below does. Running
+                # them as concurrent Spark jobs halves the serialized length
+                # of the epoch's largest commit-tail item (measured 33.9 s
+                # at the 4x4-core scaling leg, VERDICT r04 next-step #3).
+                import threading as _threading
+
+                _append_res: dict = {}
+
+                def _append_seen():
+                    try:
+                        _append_res["id"] = (
+                            self.seen.append(discovered.select("url_hash", "bucket"))
+                            if n_discovered
+                            else self.seen.current_snapshot_id()
+                        )
+                    except BaseException as e:  # surfaced after join below
+                        _append_res["err"] = e
+
+                _th = _threading.Thread(target=_append_seen, name="seen-append")
+                _th.start()
                 # incremental bloom maintenance: OR this epoch's keys into the
                 # existing bitmaps — bit-identical to a rebuild at unchanged m
                 # and O(epoch delta), never a seen-table rescan. Only buckets
@@ -1049,9 +1075,18 @@ class CrawlEngine:
                 # ride the same dirty set and exact-join until rebuilt.
                 if cfg.use_bloom and n_discovered:
                     resize = self.seen_bloom.add_keys(
-                        spark, discovered.select("url_hash", "bucket")
+                        spark,
+                        discovered.select("url_hash", "bucket"),
+                        # the epoch already aggregated per-bucket discovery
+                        # counts for its lineage log — reuse them instead of
+                        # a second distributed count on the commit tail
+                        counts={r["bucket"]: int(r["n"]) for r in disc_stats},
                     )
                     self._bloom_dirty |= set(resize)
+                _th.join()
+                if "err" in _append_res:
+                    raise _append_res["err"]
+                seen_id = _append_res["id"]
                 if cfg.use_bloom and self._bloom_dirty:
                     rebuilt = sorted(self._bloom_dirty)
                     bloom_id = self.seen_bloom.rebuild_buckets(

@@ -219,7 +219,12 @@ class SeenBloom:
         dense = dense.select("bucket", "words", "m", "n_items")
         return self.table.merge_upsert(spark, dense, "bucket", set_pointer=True)
 
-    def add_keys(self, spark: SparkSession, delta: DataFrame) -> list[int]:
+    def add_keys(
+        self,
+        spark: SparkSession,
+        delta: DataFrame,
+        counts: dict[int, int] | None = None,
+    ) -> list[int]:
         """Incrementally OR the delta keys into the per-bucket blooms.
 
         Bloom bits are a pure OR over keys, so at unchanged m this produces
@@ -230,12 +235,16 @@ class SeenBloom:
         exceeds current m), are NOT updated — they are returned for a full
         resize-rebuild and must be treated as stale until then.
         ``delta`` needs (url_hash, bucket) and should be this epoch's newly
-        appended keys only.
+        appended keys only. ``counts`` (per-bucket delta key counts) may be
+        passed when the caller already aggregated them — the crawl epoch
+        collects exactly these for its lineage log — saving one distributed
+        count job on the commit path's critical tail.
         """
-        counts = {
-            r["bucket"]: int(r["n"])
-            for r in delta.groupBy("bucket").agg(F.count("*").alias("n")).collect()
-        }
+        if counts is None:
+            counts = {
+                r["bucket"]: int(r["n"])
+                for r in delta.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+            }
         if not counts:
             return []
         meta = (

@@ -103,6 +103,59 @@ def stream_seed_ingest(
     return writer.start()
 
 
+def write_epoch_ticks(spark: SparkSession, ticks_dir: str, n: int) -> None:
+    """Materialize ``n`` one-row parquet tick files (one file per epoch).
+
+    With ``maxFilesPerTrigger=1`` each file becomes exactly one micro-batch
+    of :func:`stream_drain`. On a cluster the tick source would be a rate
+    or Kafka stream; files keep the test deterministic and replayable."""
+    for i in range(n):
+        spark.createDataFrame([(i,)], "tick int").coalesce(1).write.parquet(
+            f"{ticks_dir}/tick-{i:05d}"
+        )
+
+
+def stream_drain(
+    spark: SparkSession,
+    engine: CrawlEngine,
+    ticks_dir: str,
+    checkpoint_dir: str,
+):
+    """Run the crawl drain as a Structured Streaming query (T1 twin).
+
+    The reference's crawl loop is already a micro-batch semantic — one
+    politeness-bounded batch per loop iteration
+    (/root/reference/main.py:163-255) — so mapping it onto Spark's native
+    micro-batch runtime needs no re-modeling: a tick stream drives one
+    engine epoch per micro-batch through ``foreachBatch``. Fault tolerance
+    composes from the two checkpoint layers: Spark's stream checkpoint
+    delivers each tick at-least-once across restarts, and the engine's own
+    catalog checkpoint makes a replayed tick idempotent —
+    ``resume_epoch()`` rolls a torn epoch back and skips past a completed
+    one (the exact recovery contract tests/test_crawl.py proves for the
+    batch drain). The tick payload itself is ignored; the engine's
+    checkpoint is the authority on which epoch runs next, so duplicate or
+    lost ticks can only cause an extra (empty/no-op) epoch, never a skipped
+    or double-applied one.
+    """
+    stream = (
+        spark.readStream.schema("tick int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{ticks_dir}/*")
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        e = engine.resume_epoch()
+        engine.run_epoch(e)
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 POLITE_OUT_SCHEMA = "host string, ts timestamp, admitted boolean"
 POLITE_STATE_SCHEMA = "last_ts timestamp"
 
