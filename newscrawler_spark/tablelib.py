@@ -636,14 +636,40 @@ class SnapshotTable:
         entries = {b: list(d) for b, d in cur.entries.items()}
         deletes = {b: list(d) for b, d in cur.deletes.items()}
         dir_seq = dict(cur.dir_seq)
-        if inserts is not None:
-            new = self._write_data(inserts, "morinsert")
-            for b, dirs in new.items():
-                entries.setdefault(b, []).extend(dirs)
-                for d in dirs:
-                    dir_seq[d] = sid
-        if delete_keys is not None:
+        # the insert and tombstone writes land in separate snap dirs and
+        # share no inputs — run them as concurrent Spark jobs so the MOR
+        # commit's wall time is max(write) not sum(write); all manifest
+        # bookkeeping stays on this thread after both finish
+        new: dict[str, list[str]] = {}
+        if inserts is not None and delete_keys is not None:
+            insert_res: dict = {}
+
+            def _write_inserts():
+                try:
+                    insert_res["new"] = self._write_data(inserts, "morinsert")
+                except BaseException as e:
+                    insert_res["err"] = e
+
+            th = threading.Thread(target=_write_inserts, name="mor-insert")
+            th.start()
             tomb = self._write_data(delete_keys.select(key, BUCKET_COL), "mordelete")
+            th.join()
+            if "err" in insert_res:
+                raise insert_res["err"]
+            new = insert_res["new"]
+        else:
+            if inserts is not None:
+                new = self._write_data(inserts, "morinsert")
+            tomb = (
+                self._write_data(delete_keys.select(key, BUCKET_COL), "mordelete")
+                if delete_keys is not None
+                else None
+            )
+        for b, dirs in new.items():
+            entries.setdefault(b, []).extend(dirs)
+            for d in dirs:
+                dir_seq[d] = sid
+        if delete_keys is not None:
             for b, dirs in tomb.items():
                 deletes.setdefault(b, []).extend(dirs)
                 for d in dirs:
