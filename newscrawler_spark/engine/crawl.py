@@ -1056,6 +1056,7 @@ class CrawlEngine:
                 _append_res: dict = {}
 
                 def _append_seen():
+                    t0 = _time.time()
                     try:
                         _append_res["id"] = (
                             self.seen.append(discovered.select("url_hash", "bucket"))
@@ -1064,6 +1065,8 @@ class CrawlEngine:
                         )
                     except BaseException as e:  # surfaced after join below
                         _append_res["err"] = e
+                    finally:
+                        task_secs["seen+bloom/append"] = round(_time.time() - t0, 2)
 
                 _th = _threading.Thread(target=_append_seen, name="seen-append")
                 _th.start()
@@ -1074,6 +1077,7 @@ class CrawlEngine:
                 # rebuild; buckets stale from external appends (stream ingest)
                 # ride the same dirty set and exact-join until rebuilt.
                 if cfg.use_bloom and n_discovered:
+                    t0 = _time.time()
                     resize = self.seen_bloom.add_keys(
                         spark,
                         discovered.select("url_hash", "bucket"),
@@ -1082,6 +1086,7 @@ class CrawlEngine:
                         # a second distributed count on the commit tail
                         counts={r["bucket"]: int(r["n"]) for r in disc_stats},
                     )
+                    task_secs["seen+bloom/add_keys"] = round(_time.time() - t0, 2)
                     self._bloom_dirty |= set(resize)
                 _th.join()
                 if "err" in _append_res:
@@ -1089,9 +1094,11 @@ class CrawlEngine:
                 seen_id = _append_res["id"]
                 if cfg.use_bloom and self._bloom_dirty:
                     rebuilt = sorted(self._bloom_dirty)
+                    t0 = _time.time()
                     bloom_id = self.seen_bloom.rebuild_buckets(
                         spark, self.seen, rebuilt
                     )
+                    task_secs["seen+bloom/rebuild"] = round(_time.time() - t0, 2)
                     # subtract exactly what was rebuilt — a blind clear
                     # would drop dirty marks a concurrent stream batch
                     # added mid-rebuild, leaving a stale bloom whose false

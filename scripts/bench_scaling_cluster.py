@@ -66,15 +66,36 @@ def run(n_exec: int, mult: int) -> dict:
     return r
 
 
+def kernel_probe() -> dict:
+    """Same-window bare-kernel N→4N ceiling (no Spark): the shared VM's
+    ambient DRAM contention swings the decode-bound legs ±25%, so every
+    pair carries the ceiling measured beside it — a slow pair with a low
+    ceiling is the box, not the framework."""
+    os.environ.setdefault("SPARK_GRAFT_IMG_SIZES", "256")
+    sys.path.insert(0, HERE)
+    from bench_kernel import run_level
+
+    lo, hi = EXEC_CORES, 4 * EXEC_CORES
+    r_lo = max(round(run_level(600, lo), 1) for _ in range(2))
+    r_hi = max(round(run_level(600, hi), 1) for _ in range(2))
+    return {
+        "kernel_rows_per_sec": {str(lo): r_lo, str(hi): r_hi},
+        "kernel_ceiling_eff": round(r_hi / (4 * r_lo), 3),
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
+    }
+
+
 def main() -> None:
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     pairs = []
     for _ in range(reps):
+        probe = kernel_probe()
         r1 = run(1, mult)
         r4 = run(4, mult)
         pairs.append(
             {
+                "window_probe": probe,
                 "r_1exec": r1,
                 "r_4exec": r4,
                 "eff": round(r4["urls_per_sec"] / (4 * r1["urls_per_sec"]), 3),
