@@ -950,9 +950,20 @@ class CrawlEngine:
                 def _timed_early(name, fn):
                     def run():
                         t0 = _time.time()
+                        # each commit job gets its own scheduler pool so FAIR
+                        # mode (SPARK_GRAFT_SCHEDULER=FAIR) shares task slots
+                        # across the concurrent commits instead of FIFO-queueing
+                        # them behind the first-submitted job; a pure no-op
+                        # under the default FIFO scheduler
+                        spark.sparkContext.setLocalProperty(
+                            "spark.scheduler.pool", f"commit-{name}"
+                        )
                         try:
                             return fn()
                         finally:
+                            spark.sparkContext.setLocalProperty(
+                                "spark.scheduler.pool", None
+                            )
                             if profile:
                                 print(
                                     f"[profile] commit task {name}: "
@@ -1057,6 +1068,11 @@ class CrawlEngine:
 
                 def _append_seen():
                     t0 = _time.time()
+                    # separate Python thread -> separate pinned JVM thread:
+                    # needs its own pool tag (not inherited from the pool task)
+                    spark.sparkContext.setLocalProperty(
+                        "spark.scheduler.pool", "commit-seen-append"
+                    )
                     try:
                         _append_res["id"] = (
                             self.seen.append(discovered.select("url_hash", "bucket"))
@@ -1154,9 +1170,15 @@ class CrawlEngine:
             def timed(name, fn):
                 def run():
                     t0 = _time.time()
+                    spark.sparkContext.setLocalProperty(
+                        "spark.scheduler.pool", f"commit-{name}"
+                    )
                     try:
                         return fn()
                     finally:
+                        spark.sparkContext.setLocalProperty(
+                            "spark.scheduler.pool", None
+                        )
                         task_secs[name] = round(_time.time() - t0, 2)
 
                 return run

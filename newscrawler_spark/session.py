@@ -83,6 +83,23 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
     )
+    # Scheduler experiments (BENCH.md §2.4): the epoch's six commit tables
+    # commit as concurrent jobs from worker threads; under the default FIFO
+    # scheduler the earliest-submitted job's stages hold the task slots and
+    # later small jobs queue (measured: a 128-row lineage append took 7.6 s
+    # of mostly queue time at 4 executors). FAIR mode + the per-task pools
+    # set in engine/crawl.py gives each commit job an equal slot share.
+    # Both knobs default to Spark's own defaults until the A/B says otherwise.
+    sched = os.environ.get("SPARK_GRAFT_SCHEDULER", "").upper()
+    if sched in ("FAIR", "FIFO"):
+        builder = builder.config("spark.scheduler.mode", sched)
+    # spark.locality.wait=3s can idle free slots for up to 3 s per wave
+    # waiting for a cache-local executor — a real cost for the commit tail's
+    # many tiny cached-input jobs at multi-executor, where a "remote" read
+    # is loopback anyway. Set e.g. SPARK_GRAFT_LOCALITY_WAIT=0 to disable.
+    lw = os.environ.get("SPARK_GRAFT_LOCALITY_WAIT", "")
+    if lw:
+        builder = builder.config("spark.locality.wait", lw)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
