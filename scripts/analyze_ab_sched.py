@@ -1,0 +1,126 @@
+"""Summarize the scheduler/locality A/B (scripts/ab_sched_leg.sh).
+
+Parses ab_sched.out — per leg: a bare-kernel probe JSON (window ceiling),
+grep'd `[profile] epoch ...` phase marks, and the run_level result JSON —
+into a per-leg table plus per-config aggregates (mean/best URLs/s, raw and
+normalized by each leg's own kernel-window ceiling, mean phase seconds).
+Writes ab_sched_summary.json and prints a markdown table for BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import statistics
+import sys
+from collections import defaultdict
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def parse(path: str) -> list[dict]:
+    legs: list[dict] = []
+    cur: dict | None = None
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            m = re.match(r"=== leg (\d+) (\w+) ===", line)
+            if m:
+                cur = {"leg": int(m.group(1)), "tag": m.group(2), "epochs": []}
+                legs.append(cur)
+                continue
+            if cur is None or not line:
+                continue
+            if line.startswith("{"):
+                try:
+                    obj = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if "kernel_ceiling_eff_N_to_4N" in obj:
+                    cur["kernel_ceiling"] = obj["kernel_ceiling_eff_N_to_4N"]
+                elif "urls_per_sec" in obj:
+                    cur["result"] = obj
+            elif line.startswith("[profile] epoch"):
+                marks = dict(
+                    (k, float(v.rstrip("s")))
+                    for k, v in re.findall(r"(\w+)=([\d.]+)s", line)
+                )
+                cur["epochs"].append(marks)
+            elif line.startswith("[profile] commit tasks:"):
+                try:
+                    cur.setdefault("commit_tasks", []).append(
+                        json.loads(line.split(":", 1)[1].strip().replace("'", '"'))
+                    )
+                except json.JSONDecodeError:
+                    pass
+    return legs
+
+
+def main() -> None:
+    path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, "ab_sched.out")
+    legs = parse(path)
+    done = [g for g in legs if "result" in g]
+    by_tag: dict[str, list[dict]] = defaultdict(list)
+    for g in done:
+        by_tag[g["tag"]].append(g)
+
+    rows = []
+    for g in done:
+        phases: dict[str, float] = defaultdict(float)
+        for e in g["epochs"]:
+            for k, v in e.items():
+                phases[k] += v
+        rows.append(
+            {
+                "leg": g["leg"],
+                "tag": g["tag"],
+                "kernel_ceiling": g.get("kernel_ceiling"),
+                "urls_per_sec": g["result"]["urls_per_sec"],
+                "wall_sec": g["result"]["wall_sec"],
+                "phase_sec": {k: round(v, 1) for k, v in sorted(phases.items())},
+            }
+        )
+
+    agg = {}
+    for tag, gs in sorted(by_tag.items()):
+        ups = [g["result"]["urls_per_sec"] for g in gs]
+        ceils = [g.get("kernel_ceiling") for g in gs if g.get("kernel_ceiling")]
+        # URLs/s divided by the leg's own window ceiling: corrects for the
+        # shared-VM DRAM drift that otherwise swamps a 4-config comparison
+        norm = [
+            g["result"]["urls_per_sec"] / g["kernel_ceiling"]
+            for g in gs
+            if g.get("kernel_ceiling")
+        ]
+        agg[tag] = {
+            "n": len(gs),
+            "urls_per_sec_mean": round(statistics.mean(ups), 1),
+            "urls_per_sec_best": round(max(ups), 1),
+            "kernel_ceiling_mean": round(statistics.mean(ceils), 3) if ceils else None,
+            "ceiling_normalized_mean": round(statistics.mean(norm), 1) if norm else None,
+        }
+
+    out = {"legs": rows, "by_config": agg}
+    with open(os.path.join(REPO, "ab_sched_summary.json"), "w") as f:
+        json.dump(out, f, indent=2)
+
+    print("| leg | config | window ceiling | URLs/s | wall s |")
+    print("|---|---|---|---|---|")
+    for r in rows:
+        print(
+            f"| {r['leg']} | {r['tag']} | {r['kernel_ceiling']} "
+            f"| {r['urls_per_sec']} | {r['wall_sec']} |"
+        )
+    print()
+    print("| config | n | mean URLs/s | best | mean ceiling | ceiling-norm |")
+    print("|---|---|---|---|---|---|")
+    for tag, a in agg.items():
+        print(
+            f"| {tag} | {a['n']} | {a['urls_per_sec_mean']} | {a['urls_per_sec_best']} "
+            f"| {a['kernel_ceiling_mean']} | {a['ceiling_normalized_mean']} |"
+        )
+
+
+if __name__ == "__main__":
+    main()
