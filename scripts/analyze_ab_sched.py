@@ -22,9 +22,16 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def parse(path: str) -> list[dict]:
     legs: list[dict] = []
     cur: dict | None = None
-    with open(path) as f:
+    with open(path, errors="replace") as f:
         for line in f:
-            line = line.strip()
+            # Spark console progress bars emit \r-separated updates that can
+            # share a newline-delimited line with the payload text we want;
+            # the payload is always the last \r segment.
+            line = line.split("\r")[-1].strip()
+            if "{" in line and not line.startswith("{"):
+                brace = line.index("{")
+                if '"urls_per_sec"' in line or '"kernel' in line:
+                    line = line[brace:]
             m = re.match(r"=== leg (\d+) (\w+) ===", line)
             if m:
                 cur = {"leg": int(m.group(1)), "tag": m.group(2), "epochs": []}
@@ -39,6 +46,13 @@ def parse(path: str) -> list[dict]:
                     continue
                 if "kernel_ceiling_eff_N_to_4N" in obj:
                     cur["kernel_ceiling"] = obj["kernel_ceiling_eff_N_to_4N"]
+                    # absolute kernel rate at the drain's own core count (the
+                    # high level): the right same-window normalizer for an
+                    # 8-core drain leg (the eff ratio is a 2->8 scaling shape,
+                    # not this window's absolute bandwidth)
+                    best = obj.get("best_rows_per_sec", {})
+                    if best:
+                        cur["kernel_abs_hi"] = best[max(best, key=int)]
                 elif "urls_per_sec" in obj:
                     cur["result"] = obj
             elif line.startswith("[profile] epoch"):
@@ -86,19 +100,20 @@ def main() -> None:
     for tag, gs in sorted(by_tag.items()):
         ups = [g["result"]["urls_per_sec"] for g in gs]
         ceils = [g.get("kernel_ceiling") for g in gs if g.get("kernel_ceiling")]
-        # URLs/s divided by the leg's own window ceiling: corrects for the
-        # shared-VM DRAM drift that otherwise swamps a 4-config comparison
+        # URLs/s divided by the leg's own window's ABSOLUTE 8-worker kernel
+        # rate: corrects for the shared-VM DRAM drift that otherwise swamps
+        # a 4-config comparison (unitless drain-URLs-per-kernel-row)
         norm = [
-            g["result"]["urls_per_sec"] / g["kernel_ceiling"]
+            g["result"]["urls_per_sec"] / g["kernel_abs_hi"]
             for g in gs
-            if g.get("kernel_ceiling")
+            if g.get("kernel_abs_hi")
         ]
         agg[tag] = {
             "n": len(gs),
             "urls_per_sec_mean": round(statistics.mean(ups), 1),
             "urls_per_sec_best": round(max(ups), 1),
             "kernel_ceiling_mean": round(statistics.mean(ceils), 3) if ceils else None,
-            "ceiling_normalized_mean": round(statistics.mean(norm), 1) if norm else None,
+            "kernel_normalized_mean": round(statistics.mean(norm), 2) if norm else None,
         }
 
     out = {"legs": rows, "by_config": agg}
@@ -113,12 +128,12 @@ def main() -> None:
             f"| {r['urls_per_sec']} | {r['wall_sec']} |"
         )
     print()
-    print("| config | n | mean URLs/s | best | mean ceiling | ceiling-norm |")
+    print("| config | n | mean URLs/s | best | mean ceiling | kernel-norm |")
     print("|---|---|---|---|---|---|")
     for tag, a in agg.items():
         print(
             f"| {tag} | {a['n']} | {a['urls_per_sec_mean']} | {a['urls_per_sec_best']} "
-            f"| {a['kernel_ceiling_mean']} | {a['ceiling_normalized_mean']} |"
+            f"| {a['kernel_ceiling_mean']} | {a['kernel_normalized_mean']} |"
         )
 
 
