@@ -28,6 +28,33 @@ def test_psnr_identical_is_inf():
     assert codecs.psnr(a, a) == float("inf")
 
 
+def test_psnr_rejects_non_uint8():
+    # the integer-domain accumulation is uint8-only by contract: float
+    # inputs would silently truncate and wide ints can overflow, so the
+    # function must fail loudly instead (ADVICE r04)
+    a8 = np.zeros((4, 4, 3), dtype=np.uint8)
+    for bad in (np.float64, np.float32, np.int32, np.uint16):
+        with pytest.raises(TypeError):
+            codecs.psnr(a8.astype(bad), a8)
+        with pytest.raises(TypeError):
+            codecs.psnr(a8, a8.astype(bad))
+
+
+def test_decode_ppm_returns_readonly_view():
+    # decode_ppm's documented contract: a read-only zero-copy view over the
+    # payload bytes — in-place mutation must raise, and consumers that need
+    # to mutate must copy first (the copy stays correct)
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    dec = codecs.decode_ppm(codecs.encode(arr, "ppm"))
+    assert not dec.flags.writeable
+    with pytest.raises(ValueError):
+        dec[0, 0, 0] = 1
+    mut = dec.copy()
+    mut[0, 0, 0] ^= 0xFF
+    assert np.array_equal(dec, arr)
+
+
 def test_phash_deterministic_and_int64():
     rng = np.random.default_rng(3)
     arr = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
