@@ -108,12 +108,20 @@ def main() -> None:
             for g in gs
             if g.get("kernel_abs_hi")
         ]
+        # the A/B's target metric: the epoch commit tail (sum of
+        # parallel_commit across epochs) and the expand window
+        commits = [
+            sum(e.get("parallel_commit", 0.0) for e in g["epochs"]) for g in gs
+        ]
+        expands = [sum(e.get("expand", 0.0) for e in g["epochs"]) for g in gs]
         agg[tag] = {
             "n": len(gs),
             "urls_per_sec_mean": round(statistics.mean(ups), 1),
             "urls_per_sec_best": round(max(ups), 1),
             "kernel_ceiling_mean": round(statistics.mean(ceils), 3) if ceils else None,
             "kernel_normalized_mean": round(statistics.mean(norm), 2) if norm else None,
+            "commit_sec_mean": round(statistics.mean(commits), 2) if commits else None,
+            "expand_sec_mean": round(statistics.mean(expands), 2) if expands else None,
         }
 
     out = {"legs": rows, "by_config": agg}
@@ -128,12 +136,16 @@ def main() -> None:
             f"| {r['urls_per_sec']} | {r['wall_sec']} |"
         )
     print()
-    print("| config | n | mean URLs/s | best | mean ceiling | kernel-norm |")
-    print("|---|---|---|---|---|---|")
+    print(
+        "| config | n | mean URLs/s | best | mean ceiling | kernel-norm "
+        "| commit s | expand s |"
+    )
+    print("|---|---|---|---|---|---|---|---|")
     for tag, a in agg.items():
         print(
             f"| {tag} | {a['n']} | {a['urls_per_sec_mean']} | {a['urls_per_sec_best']} "
-            f"| {a['kernel_ceiling_mean']} | {a['kernel_normalized_mean']} |"
+            f"| {a['kernel_ceiling_mean']} | {a['kernel_normalized_mean']} "
+            f"| {a['commit_sec_mean']} | {a['expand_sec_mean']} |"
         )
 
 
