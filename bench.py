@@ -17,6 +17,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import subprocess
 import sys
 import tempfile
 import time
@@ -128,7 +129,37 @@ def bench_drain(spark) -> dict:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def ambient_probe() -> dict | None:
+    """Same-window host-noise context for the official per-round number.
+
+    Round 4's record showed a ~25% across-the-board bench swing on queries
+    whose code had not changed; measured-window reps attributed it to
+    ambient shared-VM DRAM contention (BENCH.md, bench_reps_r5.json). This
+    probe runs the bare decode+validate kernel (scripts/bench_kernel.py —
+    no Spark) in a subprocess BEFORE the session starts, so every recorded
+    BENCH_r{N}.json carries the window's own hardware ceiling and loadavg
+    alongside the timings. Probe time is NOT part of the reported value.
+    """
+    try:
+        script = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "scripts", "bench_kernel.py"
+        )
+        out = subprocess.run(
+            [sys.executable, script, "1600", "256", "8,32"],
+            capture_output=True, text=True, timeout=300,
+        )
+        kernel = json.loads(out.stdout.strip().splitlines()[-1])
+        return {
+            "kernel_rows_per_sec": kernel["best_rows_per_sec"],
+            "kernel_ceiling_eff_8_to_32": kernel["kernel_ceiling_eff_N_to_4N"],
+            "loadavg": [round(x, 2) for x in os.getloadavg()],
+        }
+    except Exception:
+        return None
+
+
 def main() -> None:
+    ambient = ambient_probe()
     spark = get_spark(app_name="newscrawler-bench", cores=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
     queries = bench_queries(spark)
@@ -147,6 +178,7 @@ def main() -> None:
         "drain_bootstrap_sec": drain["drain_bootstrap_sec"],
         "drain_urls_per_sec_gross": drain["drain_urls_per_sec_gross"],
         "drain_phases": drain["drain_phases"],
+        "ambient": ambient,
     }
     print(json.dumps(result))
     spark.stop()

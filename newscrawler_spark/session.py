@@ -83,23 +83,24 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
     )
-    # Scheduler experiments (BENCH.md §2.4): the epoch's six commit tables
-    # commit as concurrent jobs from worker threads; under the default FIFO
-    # scheduler the earliest-submitted job's stages hold the task slots and
-    # later small jobs queue (measured: a 128-row lineage append took 7.6 s
-    # of mostly queue time at 4 executors). FAIR mode + the per-task pools
-    # set in engine/crawl.py gives each commit job an equal slot share.
-    # Both knobs default to Spark's own defaults until the A/B says otherwise.
+    # Scheduler mode (BENCH.md §2.4c A/B): FAIR was hypothesized to help the
+    # six concurrent commit jobs share slots, but the interleaved 8-leg A/B
+    # measured it 9–13% SLOWER end-to-end (mean 909.6 vs 998.8 URLs/s), with
+    # the loss concentrated in the long decode/fetch stage — FIFO stays the
+    # default; SPARK_GRAFT_SCHEDULER=FAIR remains available as an override.
     sched = os.environ.get("SPARK_GRAFT_SCHEDULER", "").upper()
     if sched in ("FAIR", "FIFO"):
         builder = builder.config("spark.scheduler.mode", sched)
-    # spark.locality.wait=3s can idle free slots for up to 3 s per wave
-    # waiting for a cache-local executor — a real cost for the commit tail's
-    # many tiny cached-input jobs at multi-executor, where a "remote" read
-    # is loopback anyway. Set e.g. SPARK_GRAFT_LOCALITY_WAIT=0 to disable.
-    lw = os.environ.get("SPARK_GRAFT_LOCALITY_WAIT", "")
-    if lw:
-        builder = builder.config("spark.locality.wait", lw)
+    # spark.locality.wait=0 is the default: Spark's 3 s wait idles free
+    # slots waiting for a cache-local executor — a real cost for the
+    # expand window and commit tail's many tiny cached-input jobs (the same
+    # A/B measured locality.wait=0 at mean 1,046.8 vs 998.8 URLs/s with the
+    # expand phase at 61.2 vs 75.2 s). On the deployment side the scan
+    # source is an object store (no data locality to wait for), which is
+    # the standard setting for S3/GCS-backed clusters; HDFS-local
+    # deployments can restore the wait via SPARK_GRAFT_LOCALITY_WAIT=3s.
+    lw = os.environ.get("SPARK_GRAFT_LOCALITY_WAIT", "") or "0"
+    builder = builder.config("spark.locality.wait", lw)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
