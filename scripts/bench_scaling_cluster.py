@@ -58,10 +58,21 @@ def run(n_exec: int, mult: int) -> dict:
         os.path.join(REPO, f"scaling_leg_{n_exec}exec_{EXEC_CORES}c_m{mult}.log"), "w"
     ) as f:
         f.write(out.stdout + "\n--- stderr (tail) ---\n" + out.stderr[-20000:])
-    line = out.stdout.strip().splitlines()[-1]
-    r = json.loads(line)
+    lines = out.stdout.strip().splitlines()
+    if not lines:
+        # leg JVMs died without output (r5d: a session-end SIGHUP reached the
+        # process group mid-leg) — surface the cause instead of IndexError
+        raise RuntimeError(
+            f"leg n_exec={n_exec} produced no stdout (rc={out.returncode}); "
+            f"stderr tail: {out.stderr[-2000:]}"
+        )
+    r = json.loads(lines[-1])
     r["n_executors"] = n_exec
     r["mult"] = mult
+    # loadavg the moment the leg ends: the pre-pair probe can't see
+    # contention that arrives DURING a ~20-min leg (r5c: probe loadavg 1.6,
+    # post-leg 24), so stamp each leg with the 1/5/15-min averages at exit.
+    r["loadavg_after"] = [round(x, 2) for x in os.getloadavg()]
     print(r, flush=True)
     return r
 
@@ -89,18 +100,28 @@ def main() -> None:
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     pairs = []
-    for _ in range(reps):
-        probe = kernel_probe()
-        r1 = run(1, mult)
-        r4 = run(4, mult)
-        pairs.append(
-            {
-                "window_probe": probe,
-                "r_1exec": r1,
-                "r_4exec": r4,
-                "eff": round(r4["urls_per_sec"] / (4 * r1["urls_per_sec"]), 3),
-            }
-        )
+    for rep_i in range(reps):
+        # a failed rep (dead JVM, contention kill) records its error and the
+        # remaining reps still run + the partial evidence still gets written
+        try:
+            probe = kernel_probe()
+            r1 = run(1, mult)
+            r4 = run(4, mult)
+            # bracket the pair: a second probe AFTER the legs catches
+            # contention that arrived mid-pair (the r5c failure mode). A pair
+            # is only clean if BOTH probes' ceilings are high.
+            probe_after = kernel_probe()
+            pairs.append(
+                {
+                    "window_probe": probe,
+                    "window_probe_after": probe_after,
+                    "r_1exec": r1,
+                    "r_4exec": r4,
+                    "eff": round(r4["urls_per_sec"] / (4 * r1["urls_per_sec"]), 3),
+                }
+            )
+        except Exception as e:  # noqa: BLE001 — record, keep measuring
+            pairs.append({"rep": rep_i, "error": f"{type(e).__name__}: {e}"[:3000]})
         print(json.dumps(pairs[-1]), flush=True)
     out = {
         "protocol": (
@@ -112,7 +133,7 @@ def main() -> None:
         "exec_mem_mb": EXEC_MEM_MB,
         "workload_mult": mult,
         "pairs": pairs,
-        "best_eff": max(p["eff"] for p in pairs),
+        "best_eff": max((p["eff"] for p in pairs if "eff" in p), default=None),
     }
     # raw last-run dump; the curated round evidence (scaling_cluster_r3.json)
     # is assembled by hand from all runs and must not be clobbered
