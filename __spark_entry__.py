@@ -528,6 +528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         eng.bootstrap(datagen.gen_seeds_spark(spark, cfg.n_seed_urls, cfg.seed, cfg.n_hosts))
         eng.run_epoch(0)
         eng.run_epoch(1)
+        eng._await_bloom()  # settle the deferred bloom job before returning
         return eng.crawl_order_with_seq().orderBy("epoch", "seq")
 
     q["crawl_drain"] = q_crawl_drain

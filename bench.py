@@ -109,6 +109,10 @@ def bench_drain(spark) -> dict:
             fetched += st["fetched"]
             for name, sec in getattr(eng, "_last_epoch_marks", []):
                 phases[name] = phases.get(name, 0.0) + sec
+        # land the last epoch's deferred bloom maintenance inside the timer:
+        # in steady state it overlaps the next fetch, but a finite bench must
+        # not stop the clock with committed work still in flight
+        eng._await_bloom()
         wall = time.time() - t0  # engine epochs only — the comparable number
         # phase split so the next regression names its phase
         # (select/fetch/expand/commit; "bootstrap" is the one-off seed leg,
@@ -158,8 +162,42 @@ def ambient_probe() -> dict | None:
         return None
 
 
+def wait_for_window() -> tuple[dict | None, dict]:
+    """Bounded pre-flight: re-probe the bare-kernel 8->32 ceiling until it
+    clears SPARK_GRAFT_WAIT_CEILING (default 0.68 — between the contended
+    0.53 windows that under-reported BENCH_r04/r05 by ~20% and the box's
+    quiet-day 0.74+) or the SPARK_GRAFT_WAIT_SECS budget (default 1200 s)
+    runs out; then measure regardless. Every probe is recorded so the
+    official JSON self-documents its window either way. Disable with
+    SPARK_GRAFT_WAIT_CEILING=0 (VERDICT r05 next-step #3)."""
+    ceiling = float(os.environ.get("SPARK_GRAFT_WAIT_CEILING", "0.68"))
+    budget = float(os.environ.get("SPARK_GRAFT_WAIT_SECS", "1200"))
+    t0 = time.time()
+    effs: list[float | None] = []
+    waited = False
+    while True:
+        amb = ambient_probe()
+        effs.append(None if amb is None else amb["kernel_ceiling_eff_8_to_32"])
+        ok = (
+            amb is None
+            or ceiling <= 0
+            or amb["kernel_ceiling_eff_8_to_32"] >= ceiling
+        )
+        out_of_time = time.time() - t0 > budget
+        if ok or out_of_time:
+            return amb, {
+                "waited_for_window": waited,
+                "window_found": bool(ok),
+                "wait_sec": round(time.time() - t0, 1),
+                "wait_ceiling": ceiling,
+                "probe_effs": effs,
+            }
+        waited = True
+        time.sleep(float(os.environ.get("SPARK_GRAFT_WAIT_POLL_SEC", "120")))
+
+
 def main() -> None:
-    ambient = ambient_probe()
+    ambient, window_wait = wait_for_window()
     spark = get_spark(app_name="newscrawler-bench", cores=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
     queries = bench_queries(spark)
@@ -179,6 +217,8 @@ def main() -> None:
         "drain_urls_per_sec_gross": drain["drain_urls_per_sec_gross"],
         "drain_phases": drain["drain_phases"],
         "ambient": ambient,
+        "waited_for_window": window_wait["waited_for_window"],
+        "window_wait": window_wait,
     }
     print(json.dumps(result))
     spark.stop()

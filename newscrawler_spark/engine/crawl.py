@@ -162,8 +162,26 @@ class CrawlEngine:
         self._payload: DataFrame | None = None
         self._frontier_est: int | None = None  # driver-side size estimate
         # buckets whose seen-set grew since their bloom was last rebuilt;
-        # probed via the exact join until the next amortized rebuild
+        # probed via the exact join until the next amortized rebuild.
+        # Mutated by the epoch thread, the deferred bloom-maintenance thread
+        # (_bloom_maintain) and streaming ingest — always under _bloom_lock,
+        # and _checkpoint reads (bloom pointer, dirty set) under the same
+        # lock so every recorded pair is conservative-consistent
         self._bloom_dirty: set[int] = set()
+        import threading as _threading
+
+        self._bloom_lock = _threading.Lock()
+        # deferred bloom maintenance: epoch E's add_keys/rebuild runs on this
+        # background thread DURING epoch E+1's fetch phase (it is only needed
+        # by E+1's split_new, which awaits it) — taking the single largest
+        # commit-tail item (measured 11.6-13.7 s at the 4x4-core scaling leg)
+        # off the epoch's critical path. Until the job lands, its buckets are
+        # bloom-dirty, so probes route through the exact join: a crash, a
+        # rollback, or any interleaving degrades to the exact path, never to
+        # a false negative.
+        self._bloom_future = None
+        self._bloom_tmp: DataFrame | None = None  # cached delta the job reads
+        self._bloom_exec = None  # lazily-created single worker
         self._epoch_tmp: DataFrame | None = None  # large-path survivors cache
 
     # ------------------------------------------------------------ payload
@@ -306,12 +324,101 @@ class CrawlEngine:
         """Every checkpoint carries the bloom-dirty set: a resume must know
         which blooms are stale, or a bloom false negative after restart
         would re-admit a seen URL (ADVICE r01: the empty-batch checkpoint
-        used to drop it)."""
-        self.catalog.checkpoint(
-            epoch,
-            snapshots,
-            extra={"bloom_dirty": sorted(self._bloom_dirty)},
+        used to drop it).
+
+        The (bloom snapshot id, dirty set) pair is read together under
+        _bloom_lock: the deferred maintenance job flips the bloom pointer
+        strictly BEFORE it clears the matching dirty marks (also under the
+        lock), so any pair this records is either exact or marks-superset —
+        a resume can only fall back to the exact join, never skip it."""
+        with self._bloom_lock:
+            snapshots = {
+                **snapshots,
+                "seen_bloom": self.seen_bloom.table.current_snapshot_id(),
+            }
+            dirty = sorted(self._bloom_dirty)
+        self.catalog.checkpoint(epoch, snapshots, extra={"bloom_dirty": dirty})
+
+    # ------------------------------------------- deferred bloom maintenance
+
+    def _submit_bloom(self, delta: DataFrame | None, counts: dict[int, int]) -> None:
+        """Launch this epoch's bloom add_keys (+ any pending rebuilds) on the
+        background worker. Caller must have already marked ``counts``'
+        buckets dirty and checkpointed; ``delta`` must be a cached DataFrame
+        of (url_hash, bucket) this object may hold until _await_bloom."""
+        if not self.cfg.use_bloom:
+            return
+        with self._bloom_lock:
+            any_dirty = bool(self._bloom_dirty)
+        if delta is None and not any_dirty:
+            return
+        if self._bloom_exec is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._bloom_exec = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="bloom-maintain"
+            )
+        self._bloom_tmp = delta
+        self._bloom_future = self._bloom_exec.submit(
+            self._bloom_maintain, delta, counts
         )
+
+    def _bloom_maintain(self, delta: DataFrame | None, counts: dict[int, int]) -> None:
+        """Background half of the seen/bloom commit: OR the epoch delta into
+        the per-bucket bitmaps, then rebuild whatever is still dirty (resize
+        fallbacks, stream-ingest buckets, resume carryover). Runs between
+        epoch E's checkpoint and epoch E+1's split_new — overlapped with
+        E+1's select+fetch. Dirty marks are cleared only AFTER the table
+        commit that makes them fresh, so every interleaving with _checkpoint
+        or a concurrent reader is conservative."""
+        import time as _time
+
+        spark = self.spark
+        profile = bool(__import__("os").environ.get("CRAWL_PROFILE"))
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", "bloom-maintain")
+        try:
+            if delta is not None and counts:
+                t0 = _time.time()
+                resize = self.seen_bloom.add_keys(
+                    spark, delta.select("url_hash", "bucket"), counts=counts
+                )
+                with self._bloom_lock:
+                    self._bloom_dirty |= set(resize)
+                    self._bloom_dirty -= set(counts) - set(resize)
+                if profile:
+                    print(
+                        f"[profile] deferred bloom add_keys: "
+                        f"{_time.time() - t0:.2f}s",
+                        flush=True,
+                    )
+            with self._bloom_lock:
+                dirty = sorted(self._bloom_dirty)
+            if dirty:
+                t0 = _time.time()
+                self.seen_bloom.rebuild_buckets(spark, self.seen, dirty)
+                with self._bloom_lock:
+                    self._bloom_dirty -= set(dirty)
+                if profile:
+                    print(
+                        f"[profile] deferred bloom rebuild({len(dirty)}): "
+                        f"{_time.time() - t0:.2f}s",
+                        flush=True,
+                    )
+        finally:
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
+
+    def _await_bloom(self) -> None:
+        """Land the in-flight bloom-maintenance job (if any). Called before
+        anything reads the bloom (split_new), before an epoch's 'done'
+        checkpoint, and at the end of drain(); re-raises the job's error."""
+        fut, self._bloom_future = self._bloom_future, None
+        tmp, self._bloom_tmp = self._bloom_tmp, None
+        try:
+            if fut is not None:
+                fut.result()
+        finally:
+            if tmp is not None:
+                tmp.unpersist()
 
     # ------------------------------------------------------------- requeue
 
@@ -783,6 +890,7 @@ class CrawlEngine:
             # The manifest row bound skips the full-frontier count unless it
             # reaches 0 — then the exact count confirms "done" (the bound is
             # a lower bound under merge-on-read, never an upper one).
+            self._await_bloom()  # settle the deferred job before 'done'
             stats = self.frontier.bucket_stats()
             n_left = (
                 sum(max(s["n"] - s["tomb"], 0) for s in stats.values())
@@ -862,6 +970,11 @@ class CrawlEngine:
             .collect()
         )
         mark("fetch+log_agg")
+        # land the previous epoch's deferred bloom maintenance — it has been
+        # running concurrently with this epoch's select+fetch (its result is
+        # first needed by split_new below); on a healthy run this is a no-op
+        # wait, the job is minutes done by the time fetch+decode finishes
+        self._await_bloom()
         store_buckets = sorted(
             {r["bucket"] for r in log_rows if r["n_stored"] > 0} | set(cached_counts)
         )
@@ -942,7 +1055,8 @@ class CrawlEngine:
                 )
             )
 
-        pool = ThreadPoolExecutor(max_workers=6) if cfg.parallel_commit else None
+        pool = ThreadPoolExecutor(max_workers=8) if cfg.parallel_commit else None
+        f_tomb = None
         try:
             if pool:
                 _t0_commit = _time.time()
@@ -977,6 +1091,22 @@ class CrawlEngine:
                 f_store = pool.submit(_timed_early("store", store_task))
                 f_host = pool.submit(_timed_early("host", host_task))
                 f_order = pool.submit(_timed_early("order", order_task))
+                # the frontier MOR tombstone needs only the batch keys — write
+                # its files now, overlapped with link expansion, so the commit
+                # tail keeps just the insert write + manifest flip (the dirs
+                # are inert until the manifest references them; a failed epoch
+                # leaves orphans for the compaction GC)
+                if hasattr(self.frontier, "prepare_tombstone"):
+                    f_tomb = pool.submit(
+                        _timed_early(
+                            "tombstone",
+                            lambda: self.frontier.prepare_tombstone(
+                                batch.select("url_hash", "bucket"), "url_hash"
+                            ),
+                        )
+                    )
+                else:  # storage backend without the pre-write seam
+                    f_tomb = None
 
             # --- retries / dead letters (403/429 backoff re-queue, T4)
             failures = results.filter(F.col("status") != 200).select("url_hash", "status")
@@ -1014,8 +1144,12 @@ class CrawlEngine:
                 if cfg.use_bloom:
                     # partitioned bloom prefilter; exact anti-join remains the
                     # authority for the maybe-seen slice AND for stale buckets
+                    # (snapshot under the lock: streaming ingest may add marks
+                    # concurrently, and split_new iterates the set)
+                    with self._bloom_lock:
+                        stale = set(self._bloom_dirty)
                     new_urls = self.seen_bloom.split_new(
-                        spark, disc, self.seen, stale_buckets=self._bloom_dirty
+                        spark, disc, self.seen, stale_buckets=stale
                     )
                 else:
                     seen_df = self.seen.read(spark).select("url_hash")
@@ -1049,80 +1183,30 @@ class CrawlEngine:
                 # bucket — at a 10^10-row frontier a COW rewrite per epoch is
                 # the commit-path bottleneck (measured ~15 s/epoch flat in the
                 # sandbox); tombstones are folded in by the periodic compact.
+                # The tombstone files were pre-written during link expansion
+                # (f_tomb) so only the insert write + manifest stay here.
                 inserts = retry_rows.unionByName(discovered)
+                tomb_dirs = f_tomb.result() if f_tomb is not None else None
                 return self.frontier.merge_delta(
-                    spark, batch.select("url_hash", "bucket"), inserts, "url_hash",
-                    {"epoch": epoch}, mode="mor",
+                    spark,
+                    None if tomb_dirs is not None else batch.select("url_hash", "bucket"),
+                    inserts, "url_hash",
+                    {"epoch": epoch}, mode="mor", tombstone_dirs=tomb_dirs,
                 )
 
-            def seen_bloom_task():
-                # the seen append and the bloom OR-in read the same cached
-                # delta but write DIFFERENT tables, and add_keys never scans
-                # seen — only the (rare) resize rebuild below does. Running
-                # them as concurrent Spark jobs halves the serialized length
-                # of the epoch's largest commit-tail item (measured 33.9 s
-                # at the 4x4-core scaling leg, VERDICT r04 next-step #3).
-                import threading as _threading
-
-                _append_res: dict = {}
-
-                def _append_seen():
-                    t0 = _time.time()
-                    # separate Python thread -> separate pinned JVM thread:
-                    # needs its own pool tag (not inherited from the pool task)
-                    spark.sparkContext.setLocalProperty(
-                        "spark.scheduler.pool", "commit-seen-append"
-                    )
-                    try:
-                        _append_res["id"] = (
-                            self.seen.append(discovered.select("url_hash", "bucket"))
-                            if n_discovered
-                            else self.seen.current_snapshot_id()
-                        )
-                    except BaseException as e:  # surfaced after join below
-                        _append_res["err"] = e
-                    finally:
-                        task_secs["seen+bloom/append"] = round(_time.time() - t0, 2)
-
-                _th = _threading.Thread(target=_append_seen, name="seen-append")
-                _th.start()
-                # incremental bloom maintenance: OR this epoch's keys into the
-                # existing bitmaps — bit-identical to a rebuild at unchanged m
-                # and O(epoch delta), never a seen-table rescan. Only buckets
-                # needing a RESIZE (bitmap outgrown) fall back to the full
-                # rebuild; buckets stale from external appends (stream ingest)
-                # ride the same dirty set and exact-join until rebuilt.
-                if cfg.use_bloom and n_discovered:
-                    t0 = _time.time()
-                    resize = self.seen_bloom.add_keys(
-                        spark,
-                        discovered.select("url_hash", "bucket"),
-                        # the epoch already aggregated per-bucket discovery
-                        # counts for its lineage log — reuse them instead of
-                        # a second distributed count on the commit tail
-                        counts={r["bucket"]: int(r["n"]) for r in disc_stats},
-                    )
-                    task_secs["seen+bloom/add_keys"] = round(_time.time() - t0, 2)
-                    self._bloom_dirty |= set(resize)
-                _th.join()
-                if "err" in _append_res:
-                    raise _append_res["err"]
-                seen_id = _append_res["id"]
-                if cfg.use_bloom and self._bloom_dirty:
-                    rebuilt = sorted(self._bloom_dirty)
-                    t0 = _time.time()
-                    bloom_id = self.seen_bloom.rebuild_buckets(
-                        spark, self.seen, rebuilt
-                    )
-                    task_secs["seen+bloom/rebuild"] = round(_time.time() - t0, 2)
-                    # subtract exactly what was rebuilt — a blind clear
-                    # would drop dirty marks a concurrent stream batch
-                    # added mid-rebuild, leaving a stale bloom whose false
-                    # negative re-admits a seen URL (ADVICE r02)
-                    self._bloom_dirty -= set(rebuilt)
-                else:
-                    bloom_id = self.seen_bloom.table.current_snapshot_id()
-                return seen_id, bloom_id
+            def seen_task():
+                # seen append only: the bloom OR-in (add_keys) + rebuild are
+                # DEFERRED to a background thread submitted at the end of this
+                # epoch (_submit_bloom) and landed before the next epoch's
+                # split_new — the bloom's first reader. That takes the largest
+                # commit-tail item (11.6-13.7 s measured at the 4x4-core
+                # scaling leg) off the critical path; until the job lands the
+                # delta buckets are bloom-dirty, so probes exact-join.
+                return (
+                    self.seen.append(discovered.select("url_hash", "bucket"))
+                    if n_discovered
+                    else self.seen.current_snapshot_id()
+                )
 
             def log_task():
                 # lineage is PER-BUCKET: discoveries counted in the bucket they
@@ -1185,14 +1269,14 @@ class CrawlEngine:
 
             if pool:
                 f_frontier = pool.submit(timed("frontier", frontier_task))
-                f_seen = pool.submit(timed("seen+bloom", seen_bloom_task))
+                f_seen = pool.submit(timed("seen", seen_task))
                 f_log = pool.submit(timed("log", log_task))
                 f_pend = pool.submit(timed("pending", pending_task))
                 store_id = f_store.result()
                 host_id = f_host.result()
                 order_id = f_order.result()
                 frontier_id = f_frontier.result()
-                seen_id, bloom_id = f_seen.result()
+                seen_id = f_seen.result()
                 log_id = f_log.result()
                 pend_id = f_pend.result()
             else:
@@ -1200,7 +1284,7 @@ class CrawlEngine:
                 host_id = timed("host", host_task)()
                 order_id = timed("order", order_task)()
                 frontier_id = timed("frontier", frontier_task)()
-                seen_id, bloom_id = timed("seen+bloom", seen_bloom_task)()
+                seen_id = timed("seen", seen_task)()
                 log_id = timed("log", log_task)()
                 pend_id = timed("pending", pending_task)()
         finally:
@@ -1215,12 +1299,19 @@ class CrawlEngine:
         if profile and task_secs:
             print(f"[profile] commit tasks: {task_secs}", flush=True)
         mark("parallel_commit")
+        # the seen table now holds this epoch's keys but the bloom does not:
+        # mark the delta buckets stale BEFORE checkpointing so a resume from
+        # this checkpoint exact-joins them until the deferred job (or the
+        # next engine's first maintenance pass) refreshes them
+        disc_counts = {r["bucket"]: int(r["n"]) for r in disc_stats}
+        if cfg.use_bloom and disc_counts:
+            with self._bloom_lock:
+                self._bloom_dirty |= set(disc_counts)
         self._checkpoint(
             epoch,
             {
                 "frontier": frontier_id,
                 "seen": seen_id,
-                "seen_bloom": bloom_id,
                 "store": store_id,
                 "host_state": host_id,
                 "fetch_log": log_id,
@@ -1239,6 +1330,18 @@ class CrawlEngine:
         if self.frontier.max_dirs_per_bucket() > 6:
             self.frontier.compact(spark, {"epoch": epoch})
             self.frontier.expire_snapshots(keep_last=8)
+
+        # launch the deferred bloom maintenance AFTER the checkpoint and the
+        # compaction (its rebuild reads seen, which compact just rewrote) —
+        # it overlaps the NEXT epoch's select+fetch and is awaited before
+        # split_new reads the bloom. `discovered` stays cached until the job
+        # lands (_await_bloom unpersists it).
+        handed_off = False
+        if cfg.use_bloom and (disc_counts or self._bloom_dirty):
+            self._submit_bloom(discovered if n_discovered else None, disc_counts)
+            handed_off = n_discovered > 0
+        if cfg.expand and not handed_off:
+            discovered.unpersist()
 
         # advance the driver-side frontier size estimate (exact: the epoch
         # removed the batch and re-inserted retries + discoveries)
@@ -1285,17 +1388,27 @@ class CrawlEngine:
 
     def resume_epoch(self) -> int:
         """Next epoch to run, after rolling tables back to the checkpoint."""
+        # settle any in-flight deferred bloom job FIRST: rolling the bloom
+        # pointer back under a live maintenance commit (e.g. the streaming
+        # drain's per-tick resume) would interleave two writers
+        self._await_bloom()
         epoch = self.catalog.restore_latest()
         ck = self.catalog.last_checkpoint() or {}
-        self._bloom_dirty = set(ck.get("bloom_dirty", []))
+        with self._bloom_lock:
+            self._bloom_dirty = set(ck.get("bloom_dirty", []))
         return epoch + 1
 
     def drain(self, max_epochs: int = 100) -> list[dict]:
         start = self.resume_epoch()
         out = []
-        for e in range(start, start + max_epochs):
-            st = self.run_epoch(e)
-            out.append(st)
-            if st.get("done"):
-                break
+        try:
+            for e in range(start, start + max_epochs):
+                st = self.run_epoch(e)
+                out.append(st)
+                if st.get("done"):
+                    break
+        finally:
+            # land the last epoch's deferred bloom job before returning so
+            # callers observe settled table state (and no thread outlives us)
+            self._await_bloom()
         return out

@@ -224,10 +224,15 @@ class IcebergTable:
         set_pointer: bool = True,
         touched: list[int] | None = None,
         mode: str = "cow",
+        tombstone_dirs: dict | None = None,
     ) -> int:
         """Delete by key then insert — same-commit insert beats delete, the
         parquet twin's MERGE semantics. ``mode`` is accepted for interface
-        parity; MOR vs COW is the table's write.delete.mode property."""
+        parity; MOR vs COW is the table's write.delete.mode property.
+        ``tombstone_dirs`` (the parquet twin's pre-written tombstone seam) is
+        accepted for parity but unused: Iceberg writes its own delete files
+        inside MERGE, and the engine only pre-writes when the table exposes
+        ``prepare_tombstone`` (it checks with hasattr)."""
         with self._commit_lock:
             if delete_keys is not None and delete_keys.take(1):
                 view = f"_del_{self.name}"

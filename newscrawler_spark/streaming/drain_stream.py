@@ -80,7 +80,8 @@ def stream_seed_ingest(
             touched = {
                 r[0] for r in new_rows.select("bucket").distinct().collect()
             }
-            engine._bloom_dirty |= touched
+            with engine._bloom_lock:  # deferred maintenance thread also mutates
+                engine._bloom_dirty |= touched
             if engine._frontier_est is not None:
                 engine._frontier_est += int(n_new)
             # durable hand-off to the batch engine: without a catalog

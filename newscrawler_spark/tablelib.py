@@ -547,6 +547,7 @@ class SnapshotTable:
         set_pointer: bool = True,
         touched: list[int] | None = None,
         mode: str = "cow",
+        tombstone_dirs: dict[str, list[str]] | None = None,
     ) -> int:
         """MERGE with WHEN MATCHED DELETE + NOT MATCHED INSERT semantics.
 
@@ -565,7 +566,8 @@ class SnapshotTable:
         """
         if mode == "mor":
             return self._merge_delta_mor(
-                spark, delete_keys, inserts, key, summary or {}, set_pointer
+                spark, delete_keys, inserts, key, summary or {}, set_pointer,
+                tombstone_dirs=tombstone_dirs,
             )
         entries = {b: list(d) for b, d in self.snapshot().entries.items()}
         if touched is None:
@@ -622,6 +624,17 @@ class SnapshotTable:
             deletes=deletes, dir_seq=dir_seq,
         )
 
+    def prepare_tombstone(
+        self, delete_keys: DataFrame, key: str
+    ) -> dict[str, list[str]]:
+        """Pre-write a MOR tombstone key-file set for a later
+        ``merge_delta(mode="mor", tombstone_dirs=...)``. The written dirs are
+        inert until a commit's manifest references them (a failed epoch
+        leaves orphans the compaction GC collects), so callers may overlap
+        this write with other work — the crawl engine writes the epoch's
+        tombstone during link expansion, taking it off the commit tail."""
+        return self._write_data(delete_keys.select(key, BUCKET_COL), "mordelete")
+
     def _merge_delta_mor(
         self,
         spark: SparkSession,
@@ -630,6 +643,7 @@ class SnapshotTable:
         key: str,
         summary: dict,
         set_pointer: bool,
+        tombstone_dirs: dict[str, list[str]] | None = None,
     ) -> int:
         cur = self.snapshot()
         sid = self.next_sid()
@@ -641,7 +655,11 @@ class SnapshotTable:
         # commit's wall time is max(write) not sum(write); all manifest
         # bookkeeping stays on this thread after both finish
         new: dict[str, list[str]] = {}
-        if inserts is not None and delete_keys is not None:
+        if tombstone_dirs is not None:
+            tomb = tombstone_dirs
+            if inserts is not None:
+                new = self._write_data(inserts, "morinsert")
+        elif inserts is not None and delete_keys is not None:
             insert_res: dict = {}
 
             def _write_inserts():
@@ -669,7 +687,7 @@ class SnapshotTable:
             entries.setdefault(b, []).extend(dirs)
             for d in dirs:
                 dir_seq[d] = sid
-        if delete_keys is not None:
+        if tomb is not None:
             for b, dirs in tomb.items():
                 deletes.setdefault(b, []).extend(dirs)
                 for d in dirs:

@@ -72,6 +72,8 @@ def run_level(cores: int) -> dict:
             st = eng.run_epoch(e)
             fetched += st["fetched"]
             driver_commit += st.get("driver_commit_s", 0.0)
+        # deferred bloom maintenance of the last epoch lands inside the timer
+        eng._await_bloom()
         wall = time.time() - t0
         return {
             "cores": cores,

@@ -77,6 +77,8 @@ def main() -> None:
         print(json.dumps(st), flush=True)
         if st.get("done"):
             break
+    # deferred bloom maintenance of the last epoch lands inside the timer
+    eng._await_bloom()
     wall = time.time() - t0
     print(
         json.dumps(

@@ -488,3 +488,70 @@ def test_frontier_scan_pruning_batch_identical(spark, tmp_path_factory):
     woke = eng.select_batch(99)
     assert eng._last_scan_buckets == [10, 11, 12, 13, 14, 15]
     assert all(r["priority"] >= 500.0 for r in woke.collect())
+
+
+def test_deferred_bloom_lands_exact(spark, small_cfg, tmp_path_factory):
+    """The bloom add_keys/rebuild runs on a background thread AFTER the
+    epoch's checkpoint (overlapping the next fetch). Once landed: no seen
+    key may probe negative (bloom false negatives are the one forbidden
+    state), n_items must equal the seen table exactly, and the dirty set
+    must be empty."""
+    from newscrawler_spark.engine.seenfilter import bloom_probe
+
+    eng = _run_engine(spark, tmp_path_factory.mktemp("defb"), small_cfg, epochs=2)
+    # the epoch-1 checkpoint was written BEFORE the deferred job: it must
+    # mark the delta buckets stale so a resume from it exact-joins them
+    ck = eng.catalog.last_checkpoint()
+    assert set(ck["bloom_dirty"]), "pending delta buckets not checkpointed dirty"
+    eng._await_bloom()
+    assert not eng._bloom_dirty
+    seen_df = eng.seen.read(spark)
+    blooms = eng.seen_bloom.table.read(spark).select("bucket", "words", "m")
+    miss = (
+        seen_df.join(blooms, on="bucket")
+        .filter(~bloom_probe(F.col("words"), F.col("url_hash"), F.col("m")))
+        .count()
+    )
+    assert miss == 0  # every committed seen key probes positive
+    got_n = {
+        r["bucket"]: r["n_items"]
+        for r in eng.seen_bloom.table.read(spark).collect()
+    }
+    want_n = {
+        r["bucket"]: r["n"]
+        for r in seen_df.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+    }
+    assert got_n == want_n
+
+
+def test_resume_rolls_back_deferred_bloom(spark, small_cfg, seed_rows, tmp_path_factory):
+    """A deferred bloom commit lands AFTER its epoch's checkpoint; a resume
+    rolls the bloom pointer back past that landing. The checkpointed dirty
+    marks must cover the gap: the continued drain stays engine ≡ oracle."""
+    root = tmp_path_factory.mktemp("defb_resume")
+    eng1 = _run_engine(spark, root, small_cfg, epochs=2)
+    eng1._await_bloom()  # job landed after epoch-1's checkpoint
+    landed = eng1.seen_bloom.table.current_snapshot_id()
+    ck = eng1.catalog.last_checkpoint()
+    assert ck["snapshots"]["seen_bloom"] < landed
+    assert set(ck["bloom_dirty"])
+    del eng1
+
+    eng2 = CrawlEngine(spark, str(root), small_cfg)
+    start = eng2.resume_epoch()
+    assert start == 2
+    # pointer rolled back past the landing; marks restored from the ck
+    assert eng2.seen_bloom.table.current_snapshot_id() == ck["snapshots"]["seen_bloom"]
+    assert eng2._bloom_dirty == set(ck["bloom_dirty"])
+    for e in range(start, N_EPOCHS):
+        eng2.run_epoch(e)
+    eng2._await_bloom()
+    assert not eng2._bloom_dirty
+
+    orc = _run_oracle(seed_rows, small_cfg)
+    eng_order = sorted(
+        (r["epoch"], r["seq"], r["url_hash"])
+        for r in eng2.crawl_order_with_seq().collect()
+    )
+    assert eng_order == sorted(orc.res.order)
+    assert {r["url_hash"] for r in eng2.seen.read(spark).collect()} == orc.res.seen

@@ -55,8 +55,11 @@ def _submit(zpath: str, root: str, epochs: int) -> list[dict]:
     # Strip the checkout from the executor workers' import path: with
     # PYTHONPATH unset, the pickled UDF closures that reference
     # newscrawler_spark modules can only resolve on executors via the
-    # --py-files zip — which is the claim under test.
-    env.pop("PYTHONPATH", None)
+    # --py-files zip — which is the claim under test. Also strip debug vars
+    # that would add extra stdout lines the JSON scrape below could trip on
+    # (ADVICE r05: CRAWL_PROFILE prints are not JSON but cheap to exclude).
+    for var in ("PYTHONPATH", "CRAWL_PROFILE"):
+        env.pop(var, None)
     cmd = [
         SPARK_SUBMIT,
         "--master", "local-cluster[2,2,3072]",
@@ -82,10 +85,10 @@ def _submit(zpath: str, root: str, epochs: int) -> list[dict]:
     return [json.loads(l) for l in lines]
 
 
-def test_spark_submit_py_files_drain_and_resume():
+def test_spark_submit_py_files_drain_and_resume(tmp_path):
     if not os.path.exists(SPARK_SUBMIT):
         pytest.skip("spark-submit binary not found")
-    tmp = tempfile.mkdtemp(prefix="submit-gate-")
+    tmp = str(tmp_path)  # pytest-managed: the zip + catalogs get cleaned up
     zpath = _build_pyfiles_zip(tmp)
     root = os.path.join(tmp, "catalog")
 

@@ -257,3 +257,32 @@ def test_bucket_stats_absent_without_stats_cols(spark, cat):
     t = cat.table("t", DDL)
     t.append(_df(spark, [(1, 0, "a")]))
     assert t.bucket_stats() is None
+
+
+def test_merge_delta_mor_pre_written_tombstone(spark, cat):
+    """prepare_tombstone + merge_delta(tombstone_dirs=...) must be
+    semantically identical to passing delete_keys directly — including the
+    seq-aware same-commit re-insert of a deleted key (the crawl engine
+    pre-writes the epoch tombstone during link expansion to keep it off the
+    commit tail)."""
+    t = cat.table("t", DDL)
+    t.append(_df(spark, [(1, 0, "a"), (2, 1, "b"), (3, 2, "c")]))
+    tomb = t.prepare_tombstone(
+        _df(spark, [(2, 1, "x"), (3, 2, "x")]).select("k", "bucket"), "k"
+    )
+    # dirs are inert until a commit references them
+    assert {r["k"] for r in t.read(spark).collect()} == {1, 2, 3}
+    inserts = _df(spark, [(2, 1, "REINS"), (9, 5, "new")])
+    t.merge_delta(spark, None, inserts, "k", mode="mor", tombstone_dirs=tomb)
+    got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert got == {1: "a", 2: "REINS", 9: "new"}
+    # twin table fed the same delta through the direct delete_keys path
+    t2 = cat.table("t2", DDL)
+    t2.append(_df(spark, [(1, 0, "a"), (2, 1, "b"), (3, 2, "c")]))
+    t2.merge_delta(
+        spark,
+        _df(spark, [(2, 1, "x"), (3, 2, "x")]).select("k", "bucket"),
+        inserts, "k", mode="mor",
+    )
+    got2 = {r["k"]: r["v"] for r in t2.read(spark).collect()}
+    assert got2 == got
