@@ -82,12 +82,19 @@ def host_name(rank: int) -> str:
 
 
 @lru_cache(maxsize=64)
+def blocklist_ranks(seed: int, n_hosts: int) -> list[int]:
+    """Host ranks of the ~8 excluded hosts (always including the hot rank
+    1). Bounded config — the one gating input that may legitimately live
+    driver-side as literals (the reference ships it as a code-level list,
+    url_utils.py:18-34)."""
+    rng = np.random.default_rng((seed, 9))
+    return sorted({1} | {int(r) for r in rng.integers(2, max(3, n_hosts), size=7)})
+
+
 def blocklist_hosts(seed: int, n_hosts: int) -> list[str]:
     """~8 excluded hosts, always including a hot one (rank 1). Memoized —
     expand_links consults it per blocklisted child link."""
-    rng = np.random.default_rng((seed, 9))
-    picks = {1} | {int(r) for r in rng.integers(2, max(3, n_hosts), size=7)}
-    return sorted(host_name(r) for r in picks)
+    return sorted(host_name(r) for r in blocklist_ranks(seed, n_hosts))
 
 
 def _robots_k(seed: int) -> int:

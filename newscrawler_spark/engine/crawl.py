@@ -702,6 +702,26 @@ class CrawlEngine:
             ).cache()
         return self._seed_dim
 
+    def _seed_dim_gated_df(self) -> DataFrame:
+        """The seed-URL dim minus rows whose CANONICAL host is gated
+        (blocklist or robots-denied) — the same predicate the admission
+        anti-join applies, evaluated ONCE at dim-build time instead of over
+        every epoch's raw expansion. The gate join moves from the epoch's
+        biggest intermediate (O(links/epoch), a real shuffle once the robots
+        cache outgrows broadcast at the 10^8-host regime) to a one-time
+        O(seed-list) join, cached thereafter."""
+        if getattr(self, "_seed_dim_gated", None) is None:
+            d = with_url_identity(
+                self._seed_dim_df().withColumn("url", F.col("seed_url")),
+                "url", self.cfg.bucket_count,
+            )
+            self._seed_dim_gated = (
+                d.join(self._gated_dim(), on="host", how="left_anti")
+                .select("idx", "seed_url")
+                .cache()
+            )
+        return self._seed_dim_gated
+
     def _permille_df(self) -> DataFrame:
         if getattr(self, "_permille", None) is None:
             self._permille = self.spark.createDataFrame(
@@ -709,7 +729,7 @@ class CrawlEngine:
             ).cache()
         return self._permille
 
-    def expand_jvm(self, ok_hashes: DataFrame) -> DataFrame:
+    def expand_jvm(self, ok_hashes: DataFrame, pregated: bool = False) -> DataFrame:
         """Link expansion entirely JVM-side — the twin of
         datagen.expand_links (the Python version drives the oracle only).
 
@@ -721,6 +741,18 @@ class CrawlEngine:
         ArrowEvalPython in the epoch's QUERY path is the decode UDF (the
         bloom commit task additionally runs seenfilter._dense_scatter, a
         vectorized per-bucket bitmap scatter in the maintenance path).
+
+        ``pregated=True`` (the epoch path) FUSES the blocklist+robots
+        admission gate into generation instead of anti-joining the raw
+        expansion afterwards: blocked children are never emitted (they are
+        gated by construction), fresh children carry their host rank so the
+        robots verdict is the same inline codegen predicate bootstrap uses
+        (datagen.robots_denied_col) plus an 8-literal blocklist-rank isin,
+        and the seed dim is pre-filtered once by canonical host
+        (_seed_dim_gated_df). Equivalent to generate-then-gate row for row
+        (tests/test_crawl.py::test_pregated_expansion_equals_gate_after);
+        at the 10^8-host regime it removes the epoch's only admission join
+        over the raw expansion — the largest intermediate in the epoch.
         """
         cfg = self.cfg
         e = ok_hashes.withColumn(
@@ -744,9 +776,33 @@ class CrawlEngine:
         seed_part = (
             e.filter(seed_cond)
             .withColumn("idx", F.pmod(F.col("hk"), F.lit(cfg.n_seed_urls or 1)))
-            .join(self._seed_dim_df(), on="idx")
+            .join(
+                self._seed_dim_gated_df() if pregated else self._seed_dim_df(),
+                on="idx",
+            )
             .select(F.col("seed_url").alias("url"))
         )
+        fresh = e.filter(F.col("sel") >= 32).withColumn(
+            "p", F.pmod(F.col("hk"), F.lit(10_000)).cast("int")
+        ).join(F.broadcast(self._permille_df()), on="p")
+        if pregated:
+            # inline admission: robots verdict as a codegen predicate over
+            # the host rank + the bounded-config blocklist ranks as literals
+            fresh = fresh.filter(
+                ~datagen.robots_denied_col(F.col("rank"), cfg.seed)
+                & ~F.col("rank").isin(datagen.blocklist_ranks(cfg.seed, cfg.n_hosts))
+            )
+        fresh_part = fresh.select(
+            F.concat(
+                F.lit("https://"),
+                datagen.host_name_col(F.col("rank")),
+                F.lit("/d/"),
+                F.pmod(F.col("hk"), F.lit(1_000_000_007)).cast("string"),
+            ).alias("url")
+        )
+        if pregated:
+            # blocked children are gated by construction — never generated
+            return seed_part.unionByName(fresh_part)
         # blocked-child pick: broadcast dim join (like _permille_df) rather
         # than a plan-embedded literal array
         blocked_part = (
@@ -759,19 +815,6 @@ class CrawlEngine:
                     F.col("bhost"),
                     F.lit("/x/"),
                     F.pmod(F.col("hk"), F.lit(10_000)).cast("string"),
-                ).alias("url")
-            )
-        )
-        fresh_part = (
-            e.filter(F.col("sel") >= 32)
-            .withColumn("p", F.pmod(F.col("hk"), F.lit(10_000)).cast("int"))
-            .join(F.broadcast(self._permille_df()), on="p")
-            .select(
-                F.concat(
-                    F.lit("https://"),
-                    datagen.host_name_col(F.col("rank")),
-                    F.lit("/d/"),
-                    F.pmod(F.col("hk"), F.lit(1_000_000_007)).cast("string"),
                 ).alias("url")
             )
         )
@@ -1125,9 +1168,12 @@ class CrawlEngine:
             # --- link expansion -> canonicalize -> blocklist -> anti-join seen
             if cfg.expand:
                 ok_hashes = results.filter(F.col("status") == 200).select("url_hash")
-                disc = self.expand_jvm(ok_hashes)
+                # admission gate FUSED into generation (pregated): blocked
+                # children never emitted, robots verdict inline on the host
+                # rank, seed dim pre-filtered once — no anti-join over the
+                # raw expansion, the epoch's largest intermediate
+                disc = self.expand_jvm(ok_hashes, pregated=True)
                 disc = with_url_identity(disc, "url", cfg.bucket_count)
-                disc = disc.join(self._gated_dim(), on="host", how="left_anti")
                 # dedup discovered URLs on identity hash, keeping the
                 # lexicographically-smallest raw url as the representative
                 # (same pick as a row_number-over-(url asc) window, which

@@ -555,3 +555,25 @@ def test_resume_rolls_back_deferred_bloom(spark, small_cfg, seed_rows, tmp_path_
     )
     assert eng_order == sorted(orc.res.order)
     assert {r["url_hash"] for r in eng2.seen.read(spark).collect()} == orc.res.seen
+
+
+def test_pregated_expansion_equals_gate_after(spark, small_cfg, tmp_path_factory):
+    """expand_jvm(pregated=True) — the epoch path, with the blocklist+robots
+    gate fused into generation — must emit exactly the URLs (with
+    multiplicity) of the raw expansion followed by the canonical-host
+    admission anti-join."""
+    from collections import Counter
+
+    from newscrawler_spark.urlnorm import with_url_identity
+
+    eng = CrawlEngine(spark, str(tmp_path_factory.mktemp("pregate")), small_cfg)
+    hashes = spark.range(0, 3000).select(F.xxhash64("id").alias("url_hash"))
+    full = with_url_identity(eng.expand_jvm(hashes), "url", small_cfg.bucket_count)
+    gated = full.join(eng._gated_dim(), on="host", how="left_anti")
+    want = Counter(r["url"] for r in gated.collect())
+    got = Counter(
+        r["url"] for r in eng.expand_jvm(hashes, pregated=True).collect()
+    )
+    assert got == want and sum(want.values()) > 1000
+    # and the gate actually bit: the raw expansion had gated rows
+    assert full.count() > sum(want.values())
