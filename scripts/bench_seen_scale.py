@@ -158,11 +158,36 @@ def main() -> None:
     )
     from newscrawler_spark.session import get_spark
 
+    # same-window bare-kernel probe (no Spark) BEFORE the run, so the
+    # recorded timings carry their window's hardware context like every
+    # scaling pair does (VERDICT r05 next-step #6: the r5 numbers were
+    # measured at loadavg 28 with no probe beside them)
+    probe = None
+    try:
+        sys.path.insert(0, HERE)
+        os.environ.setdefault("SPARK_GRAFT_IMG_SIZES", "256")
+        from bench_kernel import run_level
+
+        probe = {
+            "kernel_rows_per_sec": {
+                "8": max(round(run_level(600, 8), 1) for _ in range(2)),
+                "32": max(round(run_level(600, 32), 1) for _ in range(2)),
+            },
+            "loadavg": [round(x, 2) for x in os.getloadavg()],
+        }
+        probe["kernel_ceiling_eff_8_to_32"] = round(
+            probe["kernel_rows_per_sec"]["32"]
+            / (4 * probe["kernel_rows_per_sec"]["8"]), 3,
+        )
+    except Exception:
+        pass
+
     spark = get_spark(app_name="seen-scale")
     spark.sparkContext.setLogLevel("ERROR")
     root = tempfile.mkdtemp(prefix="seen_scale_")
     try:
         res = run(spark, root, n_keys)
+        res["window_probe"] = probe
         res["host_loadavg"] = [round(x, 2) for x in os.getloadavg()]
         with open(out_path, "w") as f:
             json.dump(res, f, indent=2)
