@@ -756,6 +756,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["decode_features"] = q_decode_features
 
+    def q_phash_near_dup(spark, sf):
+        """Image near-duplicate pairs by perceptual-hash hamming distance,
+        chunk-blocked (pigeonhole, never all-pairs) over the payload
+        table's phash column. Payload phashes come from the Python codec
+        pipeline ⇒ no ANSI oracle (rows-only); the gate is
+        tests/test_functions.py::test_phash_near_pairs_matches_brute_force
+        (blocked ≡ O(n²) brute force with planted known-distance dups)."""
+        from newscrawler_spark import datagen
+        from newscrawler_spark.functions import multimodal as MM
+
+        payload = datagen.gen_payload_spark(spark, 400, 42)
+        return MM.phash_near_pairs(payload, max_hamming=6)
+
+    q["phash_near_dup"] = q_phash_near_dup
+
     def q_query_rewrite(spark, sf):
         """S2 search-query rewrite (news_sources.py:45-62): raw user search
         strings — comma lists, multi-word, already-forced, snippets, empty —

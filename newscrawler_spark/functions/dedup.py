@@ -447,8 +447,9 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     n_chunks: int = 8,
     max_bucket: int | None = 1000,
+    hash_col: str = "simhash",
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance, blocked on bit chunks.
+    """Near-dup pairs by hamming distance on a 64-bit hash, blocked on bit chunks.
 
     Pigeonhole: two 64-bit hashes within hamming distance d < n_chunks share
     at least one identical chunk — join per chunk, then verify the exact
@@ -457,6 +458,10 @@ def simhash_near_pairs(
     most d chunks), so the bound is asserted rather than silently violated.
     Chunk buckets over ``max_bucket`` members are capped
     (see cap_bucket_members).
+
+    ``hash_col`` names the int64 hash column: "simhash" for text SimHash,
+    "phash" for image perceptual hashes (multimodal.phash_near_pairs) —
+    the blocking/verify math is identical for any 64-bit locality hash.
     """
     if n_chunks not in (4, 8, 16, 32):
         raise ValueError("n_chunks must divide 64 (one of 4, 8, 16, 32)")
@@ -469,11 +474,11 @@ def simhash_near_pairs(
     mask = (1 << chunk_bits) - 1
     chunks = sim_df.select(
         F.col(id_col),
-        F.col("simhash"),
+        F.col(hash_col),
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned(F.col("simhash"), s).bitwiseAND(F.lit(mask))
+                    F.shiftrightunsigned(F.col(hash_col), s).bitwiseAND(F.lit(mask))
                     for s in range(0, 64, chunk_bits)
                 ]
             )
@@ -493,8 +498,8 @@ def simhash_near_pairs(
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
-            F.col("l.simhash").alias("sh_a"),
-            F.col("r.simhash").alias("sh_b"),
+            F.col(f"l.{hash_col}").alias("sh_a"),
+            F.col(f"r.{hash_col}").alias("sh_b"),
         )
         .distinct()
     )

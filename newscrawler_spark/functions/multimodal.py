@@ -204,3 +204,36 @@ def frame_sample(df: DataFrame, every_n: int = 30) -> DataFrame:
             )
 
     return df.mapInPandas(run, FRAME_SCHEMA)
+
+
+def phash_near_pairs(
+    df: DataFrame,
+    id_col: str = "image_id",
+    max_hamming: int = 6,
+    n_chunks: int = 8,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """Image near-duplicate pairs by perceptual-hash hamming distance.
+
+    The input table already carries a 64-bit ``phash`` per image (computed
+    at decode time, BASELINE.json input_hint), so image near-dup detection
+    never touches the bytes column: block the int64 phash on bit chunks
+    (pigeonhole: distance d < n_chunks ⇒ one shared chunk), equi-join per
+    chunk, verify exact distance with bit_count — the same machinery as
+    text SimHash (dedup.simhash_near_pairs), never an all-pairs join.
+
+    At 100 TB the scan reads only (id, phash) — two slim columns pruned at
+    the parquet reader — and shuffles ~n_chunks×|rows| 16-byte rows;
+    degenerate chunk buckets (e.g. flat images that hash alike) are capped
+    and logged by cap_bucket_members. Returns (id_a, id_b, hamming).
+    """
+    from . import dedup
+
+    return dedup.simhash_near_pairs(
+        df.select(id_col, "phash"),
+        id_col,
+        max_hamming=max_hamming,
+        n_chunks=n_chunks,
+        max_bucket=max_bucket,
+        hash_col="phash",
+    )

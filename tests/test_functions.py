@@ -153,6 +153,51 @@ def test_decode_features_real_and_stub(spark):
     assert r["ok"] is False and r["reason"] == "codec_unavailable"
 
 
+def _flip_bits(phash: int, bits) -> int:
+    """Flip the given bit positions of a signed int64 phash."""
+    v = phash & ((1 << 64) - 1)
+    for b in bits:
+        v ^= 1 << b
+    return v - (1 << 64) if v >= 1 << 63 else v
+
+
+def _hamming64(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def test_phash_near_pairs_matches_brute_force(spark):
+    """Chunk-blocked image near-dup ≡ O(n²) brute force, with planted
+    perturbations at known hamming distances straddling the threshold."""
+    pdf = datagen.gen_payload_pdf(np.arange(60), 42)
+    rows = [(iid, int(ph)) for iid, ph in zip(pdf["image_id"], pdf["phash"])]
+    base = int(pdf["phash"].iat[0])
+    planted = {
+        "zz-ham0": _flip_bits(base, []),        # exact phash dup
+        "zz-ham1": _flip_bits(base, [5]),       # 1 bit off
+        "zz-ham6": _flip_bits(base, [0, 9, 17, 33, 48, 63]),  # at threshold
+        "zz-ham7": _flip_bits(base, [0, 9, 17, 33, 48, 56, 63]),  # past it
+    }
+    rows += list(planted.items())
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in MM.phash_near_pairs(df, max_hamming=6).collect()
+    }
+    want = {
+        (min(a, b), max(a, b), _hamming64(pa, pb))
+        for i, (a, pa) in enumerate(rows)
+        for b, pb in rows[i + 1:]
+        if _hamming64(pa, pb) <= 6
+    }
+    # recall-complete (pigeonhole: 6 < 8 chunks) AND no false pairs
+    assert got == want
+    assert (pdf["image_id"].iat[0], "zz-ham0", 0) in got
+    assert (pdf["image_id"].iat[0], "zz-ham6", 6) in got
+    assert not any("zz-ham7" in (a, b) and pdf["image_id"].iat[0] in (a, b)
+                   for a, b, _ in got)
+
+
 def test_resize_block_mean(spark):
     payload = datagen.gen_payload_spark(spark, 5, 42)
     out = {r["image_id"]: r for r in MM.resize_images(payload, factor=2).collect()}
