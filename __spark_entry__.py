@@ -771,6 +771,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["phash_near_dup"] = q_phash_near_dup
 
+    def q_phash_dedup(spark, sf):
+        """Transitive image dedup clusters: min-label connected components
+        over the hamming-blocked phash pair edges (single-link pairs are
+        not closure-correct). Rows-only like phash_near_dup; gated by
+        tests/test_functions.py::test_phash_dedup_clusters_transitive."""
+        from newscrawler_spark import datagen
+        from newscrawler_spark.functions import multimodal as MM
+
+        payload = datagen.gen_payload_spark(spark, 400, 42)
+        return MM.phash_dedup_clusters(payload, max_hamming=6)
+
+    q["phash_dedup"] = q_phash_dedup
+
     def q_query_rewrite(spark, sf):
         """S2 search-query rewrite (news_sources.py:45-62): raw user search
         strings — comma lists, multi-word, already-forced, snippets, empty —

@@ -237,3 +237,27 @@ def phash_near_pairs(
         max_bucket=max_bucket,
         hash_col="phash",
     )
+
+
+def phash_dedup_clusters(
+    df: DataFrame,
+    id_col: str = "image_id",
+    max_hamming: int = 6,
+    n_chunks: int = 8,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """Transitive image near-dup clusters over the phash pair edges.
+
+    Single-link pairs alone are not closure-correct (a~b, b~c must cluster
+    a,b,c even when a~c is past the hamming threshold), so run min-label
+    connected components over the blocked pair edges. Returns
+    (id_col, comp) where comp — the lexicographically-least reachable
+    image_id — is the cluster's canonical representative; keeping rows
+    where id = comp is the dedup survivor set.
+    """
+    from . import dedup
+
+    pairs = phash_near_pairs(df, id_col, max_hamming, n_chunks, max_bucket)
+    return dedup.connected_components(
+        df.select(id_col), pairs.select("id_a", "id_b"), id_col=id_col
+    )

@@ -198,6 +198,25 @@ def test_phash_near_pairs_matches_brute_force(spark):
                    for a, b, _ in got)
 
 
+def test_phash_dedup_clusters_transitive(spark):
+    """a~b and b~c within threshold, a~c past it — transitivity must still
+    put all three in one cluster under the min-id label."""
+    base = 0x0123_4567_89AB_CDEF
+    rows = [
+        ("img-a", _flip_bits(base, [])),
+        ("img-b", _flip_bits(base, [1, 2, 3, 4, 5, 6])),          # a↔b ham 6
+        ("img-c", _flip_bits(base, [1, 2, 3, 4, 5, 6, 10, 11, 12, 13, 14, 15])),  # b↔c 6, a↔c 12
+        ("img-z", _flip_bits(base, [b for b in range(0, 64, 2)])),  # far from all
+    ]
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+    comp = {
+        r["image_id"]: r["comp"]
+        for r in MM.phash_dedup_clusters(df, max_hamming=6).collect()
+    }
+    assert comp["img-a"] == comp["img-b"] == comp["img-c"] == "img-a"
+    assert comp["img-z"] == "img-z"
+
+
 def test_resize_block_mean(spark):
     payload = datagen.gen_payload_spark(spark, 5, 42)
     out = {r["image_id"]: r for r in MM.resize_images(payload, factor=2).collect()}
