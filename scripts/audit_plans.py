@@ -219,6 +219,28 @@ def main() -> int:
     if not ok11:
         failures.append("ivf-partition-pruning")
 
+    # 12. image near-dup over a parquet-backed payload table: the phash
+    # pair join must prune the scan to (image_id, phash) — the bytes
+    # column (the table's mass at 100 TB) never leaves the reader.
+    from newscrawler_spark import datagen
+    from newscrawler_spark.functions import multimodal as MM
+
+    pay_dir = tempfile.mkdtemp(prefix="audit-payload-")
+    datagen.gen_payload_spark(spark, 200, 42).write.mode("overwrite").parquet(pay_dir)
+    q12 = MM.phash_near_pairs(spark.read.parquet(pay_dir), max_hamming=6)
+    p12 = plan_of(q12)
+    scans = [s for s in p12.split("ReadSchema")[1:]]
+    ok12 = bool(scans) and all(
+        "phash" in s[:200] and "bytes" not in s[:200] and "caption" not in s[:200]
+        for s in scans
+    )
+    report.append(
+        f"## phash near-dup: payload scan pruned to (image_id, phash), no "
+        f"bytes/caption: {'OK' if ok12 else 'FAIL'}\n```\n{p12}\n```\n"
+    )
+    if not ok12:
+        failures.append("phash-column-pruning")
+
     with open("PLANS.md", "w") as f:
         f.write("\n".join(report))
     print("audit:", "ALL OK" if not failures else f"FAILURES: {failures}")
