@@ -91,6 +91,7 @@ def blocklist_ranks(seed: int, n_hosts: int) -> list[int]:
     return sorted({1} | {int(r) for r in rng.integers(2, max(3, n_hosts), size=7)})
 
 
+@lru_cache(maxsize=64)
 def blocklist_hosts(seed: int, n_hosts: int) -> list[str]:
     """~8 excluded hosts, always including a hot one (rank 1). Memoized —
     expand_links consults it per blocklisted child link."""

@@ -168,6 +168,13 @@ class CrawlEngine:
         # and _checkpoint reads (bloom pointer, dirty set) under the same
         # lock so every recorded pair is conservative-consistent
         self._bloom_dirty: set[int] = set()
+        # per-bucket generation of the LATEST dirty mark (ADVICE r06 high):
+        # every marker bumps the generation under _bloom_lock; a clear
+        # removes a bucket only while its generation matches the clearer's
+        # token, so a concurrent mark (streaming ingest, resize fallback)
+        # always survives — add_keys can never wipe a mark it doesn't own
+        self._bloom_mark_gen: dict[int, int] = {}
+        self._bloom_gen_counter = 0
         import threading as _threading
 
         self._bloom_lock = _threading.Lock()
@@ -341,7 +348,44 @@ class CrawlEngine:
 
     # ------------------------------------------- deferred bloom maintenance
 
-    def _submit_bloom(self, delta: DataFrame | None, counts: dict[int, int]) -> None:
+    def _mark_bloom_dirty(
+        self, buckets, own_only: bool = False
+    ) -> dict[int, int]:
+        """Mark ``buckets`` bloom-stale; return a clear token {bucket: gen}.
+
+        A later :meth:`_clear_bloom_dirty` with this token removes a bucket
+        only while its generation is unchanged — i.e. only if no OTHER
+        marker (streaming ingest, a resize fallback) touched it in between.
+        ``own_only=True`` (the epoch-delta path) additionally withholds the
+        token for buckets that were ALREADY dirty before this call: their
+        staleness predates this marker's keys, so only the rebuild pass
+        (which re-reads seen) may clear them.
+        """
+        with self._bloom_lock:
+            self._bloom_gen_counter += 1
+            g = self._bloom_gen_counter
+            token: dict[int, int] = {}
+            for b in buckets:
+                fresh = b not in self._bloom_dirty
+                self._bloom_dirty.add(b)
+                self._bloom_mark_gen[b] = g
+                if fresh or not own_only:
+                    token[b] = g
+            return token
+
+    def _clear_bloom_dirty(self, token: dict[int, int]) -> None:
+        """Clear marks the caller owns (generation-checked; see above)."""
+        with self._bloom_lock:
+            for b, g in token.items():
+                if b in self._bloom_dirty and self._bloom_mark_gen.get(b) == g:
+                    self._bloom_dirty.discard(b)
+
+    def _submit_bloom(
+        self,
+        delta: DataFrame | None,
+        counts: dict[int, int],
+        own_token: dict[int, int] | None = None,
+    ) -> None:
         """Launch this epoch's bloom add_keys (+ any pending rebuilds) on the
         background worker. Caller must have already marked ``counts``'
         buckets dirty and checkpointed; ``delta`` must be a cached DataFrame
@@ -360,10 +404,15 @@ class CrawlEngine:
             )
         self._bloom_tmp = delta
         self._bloom_future = self._bloom_exec.submit(
-            self._bloom_maintain, delta, counts
+            self._bloom_maintain, delta, counts, own_token
         )
 
-    def _bloom_maintain(self, delta: DataFrame | None, counts: dict[int, int]) -> None:
+    def _bloom_maintain(
+        self,
+        delta: DataFrame | None,
+        counts: dict[int, int],
+        own_token: dict[int, int] | None = None,
+    ) -> None:
         """Background half of the seen/bloom commit: OR the epoch delta into
         the per-bucket bitmaps, then rebuild whatever is still dirty (resize
         fallbacks, stream-ingest buckets, resume carryover). Runs between
@@ -382,9 +431,16 @@ class CrawlEngine:
                 resize = self.seen_bloom.add_keys(
                     spark, delta.select("url_hash", "bucket"), counts=counts
                 )
-                with self._bloom_lock:
-                    self._bloom_dirty |= set(resize)
-                    self._bloom_dirty -= set(counts) - set(resize)
+                # ownership-aware clear (ADVICE r06 high): only the marks
+                # this epoch's delta-marking created may be cleared here —
+                # a stream-ingest mark on the same bucket carries a newer
+                # generation (or predates the epoch marking, in which case
+                # no token was issued) and survives to the rebuild pass,
+                # whose seen rescan is what actually covers its keys.
+                rs = set(resize)
+                self._clear_bloom_dirty(
+                    {b: g for b, g in (own_token or {}).items() if b not in rs}
+                )
                 if profile:
                     print(
                         f"[profile] deferred bloom add_keys: "
@@ -392,12 +448,19 @@ class CrawlEngine:
                         flush=True,
                     )
             with self._bloom_lock:
-                dirty = sorted(self._bloom_dirty)
+                # snapshot marks WITH their generations: the rebuild below
+                # re-reads seen, so it covers every mark set before this
+                # point (markers commit their seen append before marking);
+                # a mark arriving DURING the rebuild bumps the generation
+                # and the token-checked clear leaves it dirty
+                token = {
+                    b: self._bloom_mark_gen.get(b, 0) for b in self._bloom_dirty
+                }
+            dirty = sorted(token)
             if dirty:
                 t0 = _time.time()
                 self.seen_bloom.rebuild_buckets(spark, self.seen, dirty)
-                with self._bloom_lock:
-                    self._bloom_dirty -= set(dirty)
+                self._clear_bloom_dirty(token)
                 if profile:
                     print(
                         f"[profile] deferred bloom rebuild({len(dirty)}): "
@@ -1350,9 +1413,11 @@ class CrawlEngine:
         # this checkpoint exact-joins them until the deferred job (or the
         # next engine's first maintenance pass) refreshes them
         disc_counts = {r["bucket"]: int(r["n"]) for r in disc_stats}
+        own_token: dict[int, int] = {}
         if cfg.use_bloom and disc_counts:
-            with self._bloom_lock:
-                self._bloom_dirty |= set(disc_counts)
+            # own_only: buckets already dirty (stream marks, carryover) get
+            # no clear token — add_keys may only clear marks it caused
+            own_token = self._mark_bloom_dirty(disc_counts, own_only=True)
         self._checkpoint(
             epoch,
             {
@@ -1377,14 +1442,20 @@ class CrawlEngine:
             self.frontier.compact(spark, {"epoch": epoch})
             self.frontier.expire_snapshots(keep_last=8)
 
-        # launch the deferred bloom maintenance AFTER the checkpoint and the
-        # compaction (its rebuild reads seen, which compact just rewrote) —
-        # it overlaps the NEXT epoch's select+fetch and is awaited before
-        # split_new reads the bloom. `discovered` stays cached until the job
-        # lands (_await_bloom unpersists it).
+        # launch the deferred bloom maintenance AFTER the checkpoint (so the
+        # recorded (bloom pointer, dirty set) pair stays conservative) and
+        # after the compaction simply to keep the maintenance job off the
+        # epoch tail's job queue (no data dependency: frontier.compact does
+        # not touch seen; a seen.compact is snapshot-isolated from the
+        # rebuild's read either way). It overlaps the NEXT epoch's
+        # select+fetch and is awaited before split_new reads the bloom.
+        # `discovered` stays cached until the job lands (_await_bloom
+        # unpersists it).
         handed_off = False
         if cfg.use_bloom and (disc_counts or self._bloom_dirty):
-            self._submit_bloom(discovered if n_discovered else None, disc_counts)
+            self._submit_bloom(
+                discovered if n_discovered else None, disc_counts, own_token
+            )
             handed_off = n_discovered > 0
         if cfg.expand and not handed_off:
             discovered.unpersist()
@@ -1441,7 +1512,10 @@ class CrawlEngine:
         epoch = self.catalog.restore_latest()
         ck = self.catalog.last_checkpoint() or {}
         with self._bloom_lock:
+            self._bloom_gen_counter += 1
+            g = self._bloom_gen_counter
             self._bloom_dirty = set(ck.get("bloom_dirty", []))
+            self._bloom_mark_gen = {b: g for b in self._bloom_dirty}
         return epoch + 1
 
     def drain(self, max_epochs: int = 100) -> list[dict]:

@@ -87,6 +87,25 @@ def normalized_text(c: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
 
 
+def spread_small_input(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Scale-adaptive parallelism floor for hash-heavy per-row projections.
+
+    A single-row-group parquet file scans as ONE task, so a compute-bound
+    projection downstream (per-token md5/xxhash64, SWAR simhash) serializes
+    on one core no matter how many are free. Round-robin repartition ONLY
+    when the plan's scan parallelism is below the session's — at real scale
+    inputs arrive with >= cores splits and this adds no exchange; at
+    low-parallelism inputs the shuffled bytes are exactly the small
+    (id, text) projection the caller selected (guide §2.3: project before
+    the exchange).
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Keep the lowest-id row per exact (normalized) content.
 
@@ -318,6 +337,49 @@ def connected_components(
     return lab.select(F.col("id").alias(id_col), "comp")
 
 
+# two 32-bit SWAR lanes per accumulator: lane 0 counts bit j, lane 1 bit j+32
+_SWAR_MASK = 0x0000000100000001
+_LANE_MASK = 0xFFFFFFFF
+
+
+def _simhash_agg(
+    df: DataFrame, id_col: str, token_hash: Column, n_bits: int
+) -> DataFrame:
+    """Sign-of-sum SimHash via 32 SWAR sum-aggregates (fully codegen).
+
+    The old construction summed 64 separate ``when(bit,1).otherwise(-1)``
+    aggregates per exploded token; this packs the per-bit set-counts into
+    32 long buffers with two 32-bit lanes each (bit j in the low lane, bit
+    j+32 in the high): per token just shift+mask+add, half the buffers,
+    ~3x less per-row aggregate work, still a plain hash aggregate with
+    map-side partial aggregation (the shuffle carries one 33-long buffer
+    row per document, never the tokens). Bit b of the result is set iff
+    ``2*cnt_b > n_tokens`` — exactly the sign of the ±1 sum (tie → 0), so
+    values are bit-identical to the old construction. 32-bit lanes cannot
+    overflow below 2^32 tokens per document.
+    """
+    ex = df.withColumn("_h", token_hash)
+    aggs = [
+        F.sum(
+            F.shiftrightunsigned(F.col("_h"), j).bitwiseAND(F.lit(_SWAR_MASK))
+        ).alias(f"_a{j}")
+        for j in range(32)
+    ] + [F.count("*").alias("_n")]
+    g = ex.groupBy(id_col).agg(*aggs)
+    expr = None
+    for b in range(n_bits):
+        j, lane = b % 32, b // 32
+        cnt = F.shiftrightunsigned(F.col(f"_a{j}"), 32 * lane).bitwiseAND(
+            F.lit(_LANE_MASK)
+        )
+        val = (1 << b) if b < 63 else -(1 << 63)  # bit 63 wraps to sign
+        term = F.when(cnt * 2 > F.col("_n"), F.lit(val).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        expr = term if expr is None else expr + term
+    return g.select(id_col, expr.alias("simhash"))
+
+
 def simhash60(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """60-bit SimHash with an md5-based token hash family.
 
@@ -325,27 +387,18 @@ def simhash60(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     60 bits of md5 (15 hex chars -> bigint), which DuckDB can reproduce
     exactly (`CAST('0x'||substring(md5(t),1,15) AS BIGINT)`) — this is the
     oracle-checkable variant used by the driver gate; the xxhash64 one stays
-    the faster production path.
+    the faster production path. SWAR-packed aggregation, input spread
+    across idle cores when the scan is single-split — see
+    :func:`_simhash_agg` / :func:`spread_small_input`.
     """
-    ex = df.select(
+    base = spread_small_input(df.select(F.col(id_col), F.col(text_col)))
+    ex = base.select(
         F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("_t")
-    ).withColumn(
-        "_h", F.conv(F.substring(F.md5("_t"), 1, 15), 16, 10).cast("long")
     )
-    aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"_b{b}")
-        for b in range(60)
-    ]
-    g = ex.groupBy(id_col).agg(*aggs)
-    expr = None
-    for b in range(60):
-        term = F.when(F.col(f"_b{b}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        ) * F.lit(1 << b).cast("long")
-        expr = term if expr is None else expr + term
-    return g.select(id_col, expr.alias("simhash"))
+    return _simhash_agg(
+        ex, id_col,
+        F.conv(F.substring(F.md5("_t"), 1, 15), 16, 10).cast("long"), 60,
+    )
 
 
 def minhash_md5_pairs(
@@ -416,29 +469,17 @@ def minhash_md5_dedup(
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash per document, one explode + one groupBy.
+    """64-bit SimHash per document.
 
-    bit b of the hash = sign of sum over tokens of (2*bit_b(xxhash64(tok))-1).
-    64 conditional-sum aggregates run in a single partial-agg pass.
+    bit b of the hash = sign of sum over tokens of (2*bit_b(xxhash64(tok))-1),
+    evaluated as 32 SWAR-packed sum aggregates (:func:`_simhash_agg`)
+    instead of the old 64 conditional sums.
     """
-    ex = df.select(
+    base = spread_small_input(df.select(F.col(id_col), F.col(text_col)))
+    ex = base.select(
         F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("_t")
-    ).withColumn("_h", F.xxhash64("_t"))
-    aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"_b{b}")
-        for b in range(64)
-    ]
-    g = ex.groupBy(id_col).agg(*aggs)
-    # assemble: sum of (bit>0) << b, via bigint arithmetic (bit 63 wraps to sign)
-    expr = None
-    for b in range(64):
-        term = F.when(F.col(f"_b{b}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        ) * F.lit(1 << b if b < 63 else -(1 << 63)).cast("long")
-        expr = term if expr is None else expr + term
-    return g.select(id_col, expr.alias("simhash"))
+    )
+    return _simhash_agg(ex, id_col, F.xxhash64("_t"), 64)
 
 
 def simhash_near_pairs(
@@ -470,6 +511,16 @@ def simhash_near_pairs(
             f"max_hamming={max_hamming} breaks the pigeonhole recall "
             f"guarantee for n_chunks={n_chunks}; need max_hamming < n_chunks"
         )
+    # Materialize the signature table once: it is referenced THREE times
+    # downstream (the cap pre-check aggregate + both sides of the chunk
+    # self-join), and without a lineage cut each reference re-evaluates the
+    # full upstream hash computation — measured as 3x the simhash cost per
+    # query (guide §5: localCheckpoint is the cheap lineage cut; the table
+    # is (id, hash64) — 16 bytes/row — so this is the guide-§8 "decide with
+    # small rows" shape even at the 10^10-row regime).
+    sim_df = sim_df.select(F.col(id_col), F.col(hash_col)).localCheckpoint(
+        eager=True
+    )
     chunk_bits = 64 // n_chunks
     mask = (1 << chunk_bits) - 1
     chunks = sim_df.select(

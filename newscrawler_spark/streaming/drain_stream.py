@@ -80,8 +80,10 @@ def stream_seed_ingest(
             touched = {
                 r[0] for r in new_rows.select("bucket").distinct().collect()
             }
-            with engine._bloom_lock:  # deferred maintenance thread also mutates
-                engine._bloom_dirty |= touched
+            # generation-bumping mark (ADVICE r06 high): survives any clear
+            # token held by an in-flight deferred add_keys job, whose delta
+            # does not contain these streamed keys
+            engine._mark_bloom_dirty(touched)
             if engine._frontier_est is not None:
                 engine._frontier_est += int(n_new)
             # durable hand-off to the batch engine: without a catalog

@@ -557,6 +557,29 @@ def test_resume_rolls_back_deferred_bloom(spark, small_cfg, seed_rows, tmp_path_
     assert {r["url_hash"] for r in eng2.seen.read(spark).collect()} == orc.res.seen
 
 
+def test_bloom_dirty_clear_is_ownership_aware(spark, small_cfg, tmp_path_factory):
+    """ADVICE r06 high: a concurrent mark (streaming ingest) on a bucket the
+    deferred add_keys job also touched must SURVIVE the job's clear — the
+    job's token only covers marks the epoch's own delta-marking created, and
+    a generation bump invalidates the token for that bucket."""
+    eng = CrawlEngine(
+        spark, str(tmp_path_factory.mktemp("gen_marks")), small_cfg
+    )
+    # epoch marks bucket 3 (fresh) -> clear token issued
+    token = eng._mark_bloom_dirty([3], own_only=True)
+    assert set(token) == {3}
+    # stream re-marks bucket 3 for its own (different) keys before the clear
+    eng._mark_bloom_dirty([3])
+    eng._clear_bloom_dirty(token)  # deferred job finishes add_keys
+    assert 3 in eng._bloom_dirty, "stream mark wiped by a clear it didn't own"
+    # a bucket already dirty BEFORE the epoch marking gets no token at all
+    eng._mark_bloom_dirty([5])
+    token2 = eng._mark_bloom_dirty([5, 7], own_only=True)
+    assert set(token2) == {7}
+    eng._clear_bloom_dirty(token2)  # unchallenged own mark clears normally
+    assert 7 not in eng._bloom_dirty and 5 in eng._bloom_dirty
+
+
 def test_pregated_expansion_equals_gate_after(spark, small_cfg, tmp_path_factory):
     """expand_jvm(pregated=True) — the epoch path, with the blocklist+robots
     gate fused into generation — must emit exactly the URLs (with
