@@ -306,6 +306,14 @@ class CrawlEngine:
             )
         )
         self.host_state.overwrite(hosts, {"rows": "robots_bootstrap"})
+        # warm the expansion's one-off config dims here with the other
+        # admission dims (robots cache above, blocklist): they are pure
+        # functions of the config, every epoch needs them, and building
+        # them lazily put a ~2-3 s one-time dim build inside the first
+        # epoch's expand phase instead of the bootstrap it belongs to
+        if self.cfg.expand:
+            self._seed_dim_gated_df().count()
+            self._permille_df().count()
         bloom_id = (
             self.seen_bloom.rebuild_buckets(
                 self.spark, self.seen, list(range(cfg.bucket_count))
@@ -1430,27 +1438,18 @@ class CrawlEngine:
                 "requeue_pending": pend_id,
             },
         )
-        # bound read amplification on the append-only seen table and fold
-        # the frontier's MOR tombstones back into data files; after a
-        # compaction, GC manifests + unreferenced data dirs so a long drain
-        # doesn't grow disk without bound (the checkpointed snapshot is
-        # always in the kept window, so torn-epoch rollback still works)
-        if self.seen.max_dirs_per_bucket() > 6:
-            self.seen.compact(spark, {"epoch": epoch})
-            self.seen.expire_snapshots(keep_last=8)
-        if self.frontier.max_dirs_per_bucket() > 6:
-            self.frontier.compact(spark, {"epoch": epoch})
-            self.frontier.expire_snapshots(keep_last=8)
-
         # launch the deferred bloom maintenance AFTER the checkpoint (so the
-        # recorded (bloom pointer, dirty set) pair stays conservative) and
-        # after the compaction simply to keep the maintenance job off the
-        # epoch tail's job queue (no data dependency: frontier.compact does
-        # not touch seen; a seen.compact is snapshot-isolated from the
-        # rebuild's read either way). It overlaps the NEXT epoch's
-        # select+fetch and is awaited before split_new reads the bloom.
-        # `discovered` stays cached until the job lands (_await_bloom
-        # unpersists it).
+        # recorded (bloom pointer, dirty set) pair stays conservative) but
+        # BEFORE the compactions below: there is no data dependency
+        # (frontier.compact does not touch seen, and a seen.compact is
+        # snapshot-isolated from the rebuild's pinned read — expire keeps
+        # the last 8 snapshots' files), so submitting first lets add_keys
+        # overlap the compaction wall time instead of queueing behind it —
+        # which is the whole epoch tail when the drain ends here and the
+        # caller's _await_bloom() is the very next thing that runs. It
+        # otherwise overlaps the NEXT epoch's select+fetch and is awaited
+        # before split_new reads the bloom. `discovered` stays cached until
+        # the job lands (_await_bloom unpersists it).
         handed_off = False
         if cfg.use_bloom and (disc_counts or self._bloom_dirty):
             self._submit_bloom(
@@ -1459,6 +1458,31 @@ class CrawlEngine:
             handed_off = n_discovered > 0
         if cfg.expand and not handed_off:
             discovered.unpersist()
+
+        # bound read amplification on the append-only seen table and fold
+        # the frontier's MOR tombstones back into data files; after a
+        # compaction, GC manifests + unreferenced data dirs so a long drain
+        # doesn't grow disk without bound (the checkpointed snapshot is
+        # always in the kept window, so torn-epoch rollback still works).
+        # The two tables are independent — compact them as concurrent jobs
+        # (guide §2.6: overlap independent jobs to back-fill the tail).
+        compact_seen = self.seen.max_dirs_per_bucket() > 6
+        compact_frontier = self.frontier.max_dirs_per_bucket() > 6
+        if compact_seen and compact_frontier:
+            from concurrent.futures import ThreadPoolExecutor as _TPE
+
+            with _TPE(max_workers=2, thread_name_prefix="compact") as cp:
+                fs = cp.submit(self.seen.compact, spark, {"epoch": epoch})
+                ff = cp.submit(self.frontier.compact, spark, {"epoch": epoch})
+                fs.result(), ff.result()
+            self.seen.expire_snapshots(keep_last=8)
+            self.frontier.expire_snapshots(keep_last=8)
+        elif compact_seen:
+            self.seen.compact(spark, {"epoch": epoch})
+            self.seen.expire_snapshots(keep_last=8)
+        elif compact_frontier:
+            self.frontier.compact(spark, {"epoch": epoch})
+            self.frontier.expire_snapshots(keep_last=8)
 
         # advance the driver-side frontier size estimate (exact: the epoch
         # removed the batch and re-inserted retries + discoveries)

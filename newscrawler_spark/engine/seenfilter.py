@@ -115,15 +115,23 @@ def _positions(url_hash: Column, m: Column | int) -> list[Column]:
     ]
 
 
-def _dense_scatter(words: DataFrame) -> DataFrame:
-    """(bucket, m, word_idx, word) sparse rows → (bucket, words, m) dense.
+def _scatter_positions(pos: DataFrame) -> DataFrame:
+    """(bucket, m, pos) raw bit positions → (bucket, words, m) dense bitmap.
 
-    One vectorized numpy scatter per bucket (grouped Arrow batch). The
-    pure-JVM alternative — ``transform(sequence(0, W-1), w -> map[w])``
-    over a ``map_from_arrays`` — is O(W²): Spark maps are unsorted arrays,
-    so every ``element_at`` is a linear scan; at m=2^25 (W=524k words)
-    that construction measures in hours. The scatter is O(W) and runs in
-    the bloom MAINTENANCE path only — probes stay pure codegen.
+    One vectorized numpy scatter per bucket (grouped Arrow batch), fed the
+    RAW k-hash positions — the former intermediate ``groupBy(bucket,
+    word_idx).bit_or`` pre-aggregation bought almost no reduction (k
+    positions rarely share a word) while costing a full extra exchange +
+    codegen stage on the maintenance path, so the scatter now consumes
+    positions directly. The pure-JVM alternative — ``transform(sequence(0,
+    W-1), w -> map[w])`` over a ``map_from_arrays`` — is O(W²): Spark maps
+    are unsorted arrays, so every ``element_at`` is a linear scan; at
+    m=2^25 (W=524k words) that construction measures in hours. The scatter
+    is O(positions + W) and runs in the bloom MAINTENANCE path only —
+    probes stay pure codegen. Bit values are identical to the old
+    ``bit_or(shiftleft(1L, pos % 64))`` construction (uint64 shift viewed
+    as two's-complement int64, so bit 63 wraps to the sign bit the same
+    way).
     """
     import numpy as np
     import pandas as pd
@@ -131,14 +139,15 @@ def _dense_scatter(words: DataFrame) -> DataFrame:
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         m = int(pdf["m"].iat[0])
         arr = np.zeros(m // 64, dtype=np.int64)
-        idx = pdf["word_idx"].to_numpy()
-        np.bitwise_or.at(arr, idx, pdf["word"].to_numpy().astype(np.int64))
+        p = pdf["pos"].to_numpy().astype(np.uint64)
+        bits = (np.uint64(1) << (p % np.uint64(64))).view(np.int64)
+        np.bitwise_or.at(arr, (p // np.uint64(64)).astype(np.int64), bits)
         return pd.DataFrame(
             {"bucket": [int(pdf["bucket"].iat[0])], "words": [arr.tolist()],
              "m": [m]}
         )
 
-    return words.groupBy("bucket").applyInPandas(
+    return pos.groupBy("bucket").applyInPandas(
         build, "bucket int, words array<long>, m int"
     )
 
@@ -200,22 +209,10 @@ class SeenBloom:
                 F.array(*_positions(F.col("url_hash"), F.col("m")))
             ).alias("pos"),
         )
-        words = (
-            pos.select(
-                "bucket",
-                "m",
-                (F.col("pos") / 64).cast("int").alias("word_idx"),
-                F.call_function(
-                    "shiftleft", F.lit(1).cast("long"), (F.col("pos") % 64).cast("int")
-                ).alias("bit"),
-            )
-            .groupBy("bucket", "m", "word_idx")
-            .agg(F.bit_or("bit").alias("word"))
-        )
         counts_df = spark.createDataFrame(
             [(b, n) for b, n in counts.items()], "bucket int, n_items long"
         )
-        dense = _dense_scatter(words).join(F.broadcast(counts_df), on="bucket")
+        dense = _scatter_positions(pos).join(F.broadcast(counts_df), on="bucket")
         dense = dense.select("bucket", "words", "m", "n_items")
         return self.table.merge_upsert(spark, dense, "bucket", set_pointer=True)
 
@@ -272,22 +269,11 @@ class SeenBloom:
             "m",
             F.explode(F.array(*_positions(F.col("url_hash"), F.col("m")))).alias("pos"),
         )
-        words = (
-            pos.select(
-                "bucket",
-                "m",
-                (F.col("pos") / 64).cast("int").alias("word_idx"),
-                F.call_function(
-                    "shiftleft", F.lit(1).cast("long"), (F.col("pos") % 64).cast("int")
-                ).alias("bit"),
-            )
-            .groupBy("bucket", "m", "word_idx")
-            .agg(F.bit_or("bit").alias("word"))
-        )
-        # dense delta bitmap (linear scatter), then a linear zip_with OR —
-        # the old map-lookup transform was O(W x delta_words) per bucket
+        # dense delta bitmap (one linear scatter straight from positions),
+        # then a linear zip_with OR — the old map-lookup transform was
+        # O(W x delta_words) per bucket
         delta_dense = (
-            _dense_scatter(words).withColumnRenamed("words", "dwords").drop("m")
+            _scatter_positions(pos).withColumnRenamed("words", "dwords").drop("m")
         )
         old = self.table.read(spark).select("bucket", "words", "m", "n_items")
         cdf = spark.createDataFrame(
@@ -305,7 +291,13 @@ class SeenBloom:
                 (F.col("n_items") + F.col("n_new")).alias("n_items"),
             )
         )
-        self.table.merge_upsert(spark, merged, "bucket", set_pointer=True)
+        # self-merge without the generic merge_upsert: we already hold the
+        # old table DataFrame, so carrying the untouched buckets forward is
+        # a filter+union and the commit is ONE overwrite write job — the
+        # generic path re-read the table and anti-joined the delta keys,
+        # two extra stages per epoch on the maintenance path
+        full = old.filter(~F.col("bucket").isin(list(ok))).unionByName(merged)
+        self.table.overwrite(full, {"op": "bloom_add"})
         return sorted(resize)
 
     def split_new(

@@ -513,14 +513,15 @@ def simhash_near_pairs(
         )
     # Materialize the signature table once: it is referenced THREE times
     # downstream (the cap pre-check aggregate + both sides of the chunk
-    # self-join), and without a lineage cut each reference re-evaluates the
+    # self-join), and without persistence each reference re-evaluates the
     # full upstream hash computation — measured as 3x the simhash cost per
-    # query (guide §5: localCheckpoint is the cheap lineage cut; the table
-    # is (id, hash64) — 16 bytes/row — so this is the guide-§8 "decide with
-    # small rows" shape even at the 10^10-row regime).
-    sim_df = sim_df.select(F.col(id_col), F.col(hash_col)).localCheckpoint(
-        eager=True
-    )
+    # query. ``cache`` (not localCheckpoint) deliberately: same single
+    # evaluation, but the InMemoryRelation keeps the child plan visible so
+    # the scan-pruning proof (payload read = (id, hash) only — audit §12)
+    # survives in explain output. The persisted table is (id, hash64) —
+    # 16 bytes/row — the guide-§8 "decide with small rows" shape even at
+    # the 10^10-row regime; the cap pre-check aggregate materializes it.
+    sim_df = sim_df.select(F.col(id_col), F.col(hash_col)).cache()
     chunk_bits = 64 // n_chunks
     mask = (1 << chunk_bits) - 1
     chunks = sim_df.select(
@@ -537,7 +538,13 @@ def simhash_near_pairs(
     )
     chunks = cap_bucket_members(chunks, ["chunk_id", "chunk"], id_col, max_bucket)
     l, r = chunks.alias("l"), chunks.alias("r")
-    cand = (
+    # verify the exact distance BEFORE the pair-dedup: a pair that matches
+    # in several chunks is emitted once per chunk, and hamming is a pure
+    # function of the pair, so filter-then-distinct returns the same set
+    # while the distinct's exchange carries only the (few) surviving near
+    # pairs instead of every capped candidate (guide §2.3: shuffle fewer
+    # bytes — drop rows before the exchange when the predicate allows it)
+    return (
         l.join(
             r,
             on=[
@@ -549,11 +556,10 @@ def simhash_near_pairs(
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
-            F.col(f"l.{hash_col}").alias("sh_a"),
-            F.col(f"r.{hash_col}").alias("sh_b"),
+            F.bit_count(
+                F.col(f"l.{hash_col}").bitwiseXOR(F.col(f"r.{hash_col}"))
+            ).alias("hamming"),
         )
+        .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    return cand.withColumn(
-        "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    ).filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")

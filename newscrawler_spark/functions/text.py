@@ -35,10 +35,23 @@ def keyword_predicate(keywords: list[str], cols: list[str]) -> Column:
 
     Per keyword: `\\b<kw>\\b` (the reference uses Postgres `\\y`,
     main.py:271-294), OR-ed across columns, AND-ed across keywords.
+
+    For plain alphanumeric keywords the regex is guarded by a cheap
+    case-insensitive substring containment: ``\\b<kw>\\b`` can only match
+    where ``lower(col)`` contains ``lower(kw)``, so the AND short-circuits
+    the Java regex engine on the (typically vast) majority of rows that
+    cannot match — same rows returned, a fraction of the per-row cost on a
+    full-corpus scan. Keywords with regex metacharacters skip the guard.
     """
-    def kw_pred(kw: str) -> Column:
+    def col_pred(c: str, kw: str) -> Column:
         pat = r"(?i)\b" + kw + r"\b"
-        return reduce(or_, (F.col(c).rlike(pat) for c in cols))
+        rx = F.col(c).rlike(pat)
+        if kw.isalnum():
+            return F.lower(F.col(c)).contains(kw.lower()) & rx
+        return rx
+
+    def kw_pred(kw: str) -> Column:
+        return reduce(or_, (col_pred(c, kw) for c in cols))
 
     return reduce(and_, (kw_pred(k) for k in keywords))
 
