@@ -366,18 +366,34 @@ def _simhash_agg(
         for j in range(32)
     ] + [F.count("*").alias("_n")]
     g = ex.groupBy(id_col).agg(*aggs)
-    expr = None
-    for b in range(n_bits):
-        j, lane = b % 32, b // 32
-        cnt = F.shiftrightunsigned(F.col(f"_a{j}"), 32 * lane).bitwiseAND(
-            F.lit(_LANE_MASK)
-        )
-        val = (1 << b) if b < 63 else -(1 << 63)  # bit 63 wraps to sign
-        term = F.when(cnt * 2 > F.col("_n"), F.lit(val).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        expr = term if expr is None else expr + term
-    return g.select(id_col, expr.alias("simhash"))
+    # Final assembly as ONE small higher-order fold instead of n_bits
+    # unrolled CASE terms: the unrolled form was a ~600-node expression
+    # tree whose per-query Catalyst analysis/optimization cost ~1.5 s on
+    # the driver (measured on a 1-row input — pure planning, guide §7.3).
+    # The fold is interpreted, but it runs once per DOCUMENT (not per
+    # token): bit b of the hash = 1 iff 2 * lane-count(b) > n_tokens,
+    # exactly the unrolled arithmetic, so values are unchanged
+    # (shiftleft(1L, 63) wraps to the sign bit like the old -(1<<63)).
+    accs = F.array(*[F.col(f"_a{j}") for j in range(32)])
+    n = F.col("_n")
+    simhash = F.aggregate(
+        F.sequence(F.lit(0), F.lit(n_bits - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc
+        + F.when(
+            F.call_function(
+                "shiftrightunsigned",
+                F.element_at(accs, (b % 32).cast("int") + 1),
+                (b / 32).cast("int") * 32,
+            ).bitwiseAND(F.lit(_LANE_MASK))
+            * 2
+            > n,
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), b.cast("int")
+            ),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return g.select(id_col, simhash.alias("simhash"))
 
 
 def simhash60(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
