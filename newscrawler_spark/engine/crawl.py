@@ -161,6 +161,11 @@ class CrawlEngine:
         )
         self._payload: DataFrame | None = None
         self._frontier_est: int | None = None  # driver-side size estimate
+        # driver-side UPPER bounds on table sizes, used only to decide
+        # packed (single-file) commits for small deltas/tables; None means
+        # unknown (resume on an existing root) and disables packing there
+        self._seen_rows_est: int | None = None
+        self._store_rows_bound: int | None = None
         # buckets whose seen-set grew since their bloom was last rebuilt;
         # probed via the exact join until the next amortized rebuild.
         # Mutated by the epoch thread, the deferred bloom-maintenance thread
@@ -275,8 +280,16 @@ class CrawlEngine:
             .withColumn("not_before", F.lit(0))
             .select(*[c.strip().split(" ")[0] for c in FRONTIER_DDL.split(",")])
         )
-        fid = self.frontier.overwrite(s, {"rows": "bootstrap"})
-        sid = self.seen.overwrite(s.select("url_hash", "bucket"))
+        # the seed list size bounds both writes (dedup+gate only shrink it):
+        # a small bootstrap packs to one file instead of one per bucket
+        fid = self.frontier.overwrite(
+            s, {"rows": "bootstrap"}, pack_rows=cfg.n_seed_urls
+        )
+        sid = self.seen.overwrite(
+            s.select("url_hash", "bucket"), pack_rows=cfg.n_seed_urls
+        )
+        self._seen_rows_est = cfg.n_seed_urls  # upper bound, see seen_task
+        self._store_rows_bound = 0  # fresh root: store starts empty
         # persist per-host robots verdicts (host_state is the robots cache).
         # Fully DISTRIBUTED: host universe from spark.range + the JVM
         # host-name expression, verdicts from the JVM robots_denied_col
@@ -524,7 +537,7 @@ class CrawlEngine:
         s = s.cache()
         n = s.count()
         if n:
-            self.frontier.append(s, {"op": "requeue"})
+            self.frontier.append(s, {"op": "requeue"}, pack_rows=int(n))
             # record the re-queued keys: they are the only keys that can be
             # cache hits, and the epoch's split is bounded by this table
             self.requeue_pending.append(s.select("url_hash", "bucket"))
@@ -1129,9 +1142,19 @@ class CrawlEngine:
         from concurrent.futures import ThreadPoolExecutor
 
         def store_task():
+            # packed-commit bound on the rewrite output: every row already
+            # in the touched buckets (<= the running stored total) plus
+            # this epoch's stored delta; None (resume on an unknown root)
+            # keeps the per-bucket layout
+            bound = (
+                self._store_rows_bound + n_stored_total + n_cached_total
+                if self._store_rows_bound is not None
+                else None
+            )
             return self.store.merge_upsert(
                 spark, stored, "url_hash",
                 touched=store_buckets, preserve_cols=["first_epoch"],
+                pack_rows=bound,
             )
 
         def host_task():
@@ -1215,7 +1238,8 @@ class CrawlEngine:
                         _timed_early(
                             "tombstone",
                             lambda: self.frontier.prepare_tombstone(
-                                batch.select("url_hash", "bucket"), "url_hash"
+                                batch.select("url_hash", "bucket"), "url_hash",
+                                pack_rows=int(n_batch),
                             ),
                         )
                     )
@@ -1309,6 +1333,8 @@ class CrawlEngine:
                     None if tomb_dirs is not None else batch.select("url_hash", "bucket"),
                     inserts, "url_hash",
                     {"epoch": epoch}, mode="mor", tombstone_dirs=tomb_dirs,
+                    pack_rows=int(n_retry) + int(n_discovered),
+                    tombstone_pack_rows=int(n_batch),
                 )
 
             def seen_task():
@@ -1320,7 +1346,10 @@ class CrawlEngine:
                 # scaling leg) off the critical path; until the job lands the
                 # delta buckets are bloom-dirty, so probes exact-join.
                 return (
-                    self.seen.append(discovered.select("url_hash", "bucket"))
+                    self.seen.append(
+                        discovered.select("url_hash", "bucket"),
+                        pack_rows=int(n_discovered),
+                    )
                     if n_discovered
                     else self.seen.current_snapshot_id()
                 )
@@ -1416,6 +1445,11 @@ class CrawlEngine:
         if profile and task_secs:
             print(f"[profile] commit tasks: {task_secs}", flush=True)
         mark("parallel_commit")
+        # advance the packed-commit size bounds past this epoch's appends
+        if self._seen_rows_est is not None:
+            self._seen_rows_est += int(n_discovered)
+        if self._store_rows_bound is not None:
+            self._store_rows_bound += int(n_stored_total)
         # the seen table now holds this epoch's keys but the bloom does not:
         # mark the delta buckets stale BEFORE checkpointing so a resume from
         # this checkpoint exact-joins them until the deferred job (or the
@@ -1472,13 +1506,18 @@ class CrawlEngine:
             from concurrent.futures import ThreadPoolExecutor as _TPE
 
             with _TPE(max_workers=2, thread_name_prefix="compact") as cp:
-                fs = cp.submit(self.seen.compact, spark, {"epoch": epoch})
+                fs = cp.submit(
+                    self.seen.compact, spark, {"epoch": epoch},
+                    pack_rows=self._seen_rows_est,
+                )
                 ff = cp.submit(self.frontier.compact, spark, {"epoch": epoch})
                 fs.result(), ff.result()
             self.seen.expire_snapshots(keep_last=8)
             self.frontier.expire_snapshots(keep_last=8)
         elif compact_seen:
-            self.seen.compact(spark, {"epoch": epoch})
+            self.seen.compact(
+                spark, {"epoch": epoch}, pack_rows=self._seen_rows_est
+            )
             self.seen.expire_snapshots(keep_last=8)
         elif compact_frontier:
             self.frontier.compact(spark, {"epoch": epoch})

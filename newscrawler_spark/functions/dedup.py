@@ -553,6 +553,14 @@ def simhash_near_pairs(
         ).alias("chunk_id", "chunk"),
     )
     chunks = cap_bucket_members(chunks, ["chunk_id", "chunk"], id_col, max_bucket)
+    # persist the capped chunk table too: BOTH sides of the self-join read
+    # it, and without persistence each side re-evaluates the posexplode +
+    # (when degenerate buckets exist) the cap's semi/anti-join + window
+    # subtree — measured as ~1 s/query at sf0.1. 28 bytes/row x n_chunks
+    # rows per doc (MEMORY_AND_DISK, spills at scale like the join input
+    # it feeds); the signature cache above stays so the cap pre-check and
+    # this table's build share one signature evaluation.
+    chunks = chunks.cache()
     l, r = chunks.alias("l"), chunks.alias("r")
     # verify the exact distance BEFORE the pair-dedup: a pair that matches
     # in several chunks is emitted once per chunk, and hamming is a pure

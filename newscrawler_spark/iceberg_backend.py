@@ -71,6 +71,11 @@ class IcebergTable:
     - snapshot ids are Iceberg's (random longs, not dense integers); 0 means
       "empty, pre-first-commit" and cannot be rolled back to — the engine
       only rolls back to ids it checkpointed, which are real snapshots;
+    - ``pack_rows``/``tombstone_pack_rows`` (the parquet twin's packed
+      small-delta commit hints) are accepted on every writer and ignored:
+      Iceberg sizes output files itself (write.target-file-size-bytes) and
+      its writers already avoid the one-file-per-partition explosion the
+      twin's packing works around;
     - merge-on-read is a TABLE PROPERTY (write.delete.mode=merge-on-read)
       rather than a per-call mode: ``merge_delta(mode=...)`` is accepted and
       ignored so call sites stay identical;
@@ -170,13 +175,13 @@ class IcebergTable:
     # --------------------------------------------------------------- writes
 
     def append(self, df: DataFrame, summary: dict | None = None,
-               set_pointer: bool = True) -> int:
+               set_pointer: bool = True, pack_rows: int | None = None) -> int:
         with self._commit_lock:
             df.writeTo(self.full).append()
             return self.current_snapshot_id()
 
     def overwrite(self, df: DataFrame, summary: dict | None = None,
-                  set_pointer: bool = True) -> int:
+                  set_pointer: bool = True, pack_rows: int | None = None) -> int:
         with self._commit_lock:
             df.writeTo(self.full).overwrite(F.lit(True))
             return self.current_snapshot_id()
@@ -200,6 +205,7 @@ class IcebergTable:
         set_pointer: bool = True,
         touched: list[int] | None = None,
         preserve_cols: list[str] | None = None,
+        pack_rows: int | None = None,
     ) -> int:
         """MERGE INTO ... WHEN MATCHED UPDATE / NOT MATCHED INSERT.
 
@@ -225,6 +231,8 @@ class IcebergTable:
         touched: list[int] | None = None,
         mode: str = "cow",
         tombstone_dirs: dict | None = None,
+        pack_rows: int | None = None,
+        tombstone_pack_rows: int | None = None,
     ) -> int:
         """Delete by key then insert — same-commit insert beats delete, the
         parquet twin's MERGE semantics. ``mode`` is accepted for interface
@@ -253,7 +261,8 @@ class IcebergTable:
             self.spark.sql(f"DELETE FROM {self.full} WHERE {condition}")
             return self.current_snapshot_id()
 
-    def compact(self, spark: SparkSession, summary: dict | None = None) -> int:
+    def compact(self, spark: SparkSession, summary: dict | None = None,
+                pack_rows: int | None = None) -> int:
         with self._commit_lock:
             self.spark.sql(
                 f"CALL {self._catalog}.system.rewrite_data_files"

@@ -104,3 +104,102 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+_warmed_app_ids: set[str] = set()
+
+
+def warm_engine(spark: SparkSession | None = None) -> bool:
+    """One-time, input-independent engine warmup (guide §1.2: time the
+    computation, not the machinery).
+
+    A fresh Spark JVM pays multi-second one-offs on whichever query runs
+    first: whole-stage-codegen compiler bring-up, shuffle writer/reader
+    class loading, the broadcast/window exec paths, the parquet-mr reader
+    stack, and the fork of the Arrow Python worker daemons. Measured on
+    this box those one-offs are ~4-6 s charged to the first scan query and
+    ~1.5 s to the first Arrow UDF query — session overhead, not query cost.
+
+    This helper exercises each of those paths once against synthetic
+    ``spark.range`` data and a throwaway temp-dir parquet file. It reads
+    NOTHING from any input dataset and materializes no reusable result —
+    every query still computes from its parquet inputs — so repeated
+    invocations are cheap no-ops and the warmup can never leak data or
+    results across runs. Disable with SPARK_GRAFT_NO_WARM=1.
+    """
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None or os.environ.get("SPARK_GRAFT_NO_WARM"):
+        return False
+    app_id = spark.sparkContext.applicationId
+    if app_id in _warmed_app_ids:
+        return False
+    _warmed_app_ids.add(app_id)
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window as _W
+    from pyspark.sql import functions as F
+
+    sc = spark.sparkContext
+    sc.setJobDescription("engine_warmup (untimed one-off; synthetic data only)")
+    try:
+        n = default_parallelism()
+
+        def _agg_sort():
+            # codegen + hash aggregate + exchange + sort machinery
+            (
+                spark.range(0, 100_000, 1, n)
+                .select(F.pmod(F.xxhash64("id"), F.lit(9973)).alias("k"))
+                .groupBy("k").count().orderBy(F.desc("count")).limit(5).collect()
+            )
+
+        def _bjoin_window():
+            # broadcast join + window exec paths
+            big = spark.range(0, 10_000, 1, n).select(
+                F.pmod("id", F.lit(64)).alias("k"), F.col("id").alias("v")
+            )
+            small = spark.range(0, 64).select(F.col("id").alias("k"))
+            w = _W.partitionBy("k").orderBy(F.desc("v"))
+            (
+                big.join(F.broadcast(small), "k")
+                .withColumn("r", F.row_number().over(w))
+                .filter(F.col("r") <= 2).count()
+            )
+
+        def _parquet():
+            # parquet writer+reader class stack, against a throwaway temp file
+            tmp = tempfile.mkdtemp(prefix="warmup-parquet-")
+            try:
+                p = os.path.join(tmp, "w.parquet")
+                spark.range(0, 1024, 1, 4).selectExpr(
+                    "id", "cast(id as string) s", "cast(id as double) d"
+                ).write.mode("overwrite").parquet(p)
+                spark.read.parquet(p).filter(F.col("id") % 7 == 0).count()
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+
+        def _arrow():
+            # fork the Arrow Python worker daemons on every core so the first
+            # real pandas-UDF stage reuses warm workers instead of fork+import
+            def _ident(it):
+                for pdf in it:
+                    yield pdf
+
+            spark.range(0, n, 1, n).mapInPandas(_ident, "id long").count()
+
+        # the four paths are independent Spark jobs — warm them concurrently
+        # (wall = max stage, not sum; same trick as the engine's commit pool)
+        from concurrent.futures import ThreadPoolExecutor
+
+        ok = True
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            for f in [pool.submit(g) for g in (_agg_sort, _bjoin_window, _parquet, _arrow)]:
+                try:
+                    f.result()
+                except Exception:
+                    ok = False  # best-effort; never block a real query
+        return ok
+    except Exception:
+        return False  # warmup is best-effort; never block a real query
+    finally:
+        sc.setJobDescription(None)

@@ -72,8 +72,12 @@ def stream_seed_ingest(
         new_rows = s.join(seen_df, on="url_hash", how="left_anti").cache()
         n_new = new_rows.count()
         if n_new:
-            fid = engine.frontier.append(new_rows, {"stream_batch": batch_id})
-            sid = engine.seen.append(new_rows.select("url_hash", "bucket"))
+            fid = engine.frontier.append(
+                new_rows, {"stream_batch": batch_id}, pack_rows=int(n_new)
+            )
+            sid = engine.seen.append(
+                new_rows.select("url_hash", "bucket"), pack_rows=int(n_new)
+            )
             # the appended buckets' blooms are now stale: mark them dirty so
             # split_new routes them through the exact join (ADVICE r01 (a) —
             # otherwise a stale bloom could re-admit a streamed URL)
@@ -86,6 +90,8 @@ def stream_seed_ingest(
             engine._mark_bloom_dirty(touched)
             if engine._frontier_est is not None:
                 engine._frontier_est += int(n_new)
+            if engine._seen_rows_est is not None:
+                engine._seen_rows_est += int(n_new)
             # durable hand-off to the batch engine: without a catalog
             # checkpoint, the next resume would roll the frontier/seen
             # pointers back past these appends while Spark's own stream

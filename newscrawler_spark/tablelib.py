@@ -53,6 +53,26 @@ from pyspark.sql import functions as F
 BUCKET_COL = "bucket"
 _PB = "pbucket"
 
+# Packed-commit threshold (guide §6: sensible output file sizing). A delta
+# below this many rows is written as ONE shared data dir (single file)
+# registered under every bucket it contains, instead of one dir per bucket:
+# 128 five-KB files for a 20k-row delta is pure open/list/task overhead on
+# both the write and every later read. Pruned reads of packed dirs add a
+# `bucket IN (...)` filter (cheap codegen), and packed dirs carry exact
+# per-bucket zone maps computed from the (tiny) file itself, so manifest
+# pruning stays sound. At the 10^10-row design point epoch deltas are
+# millions of rows and keep the per-bucket layout; packing engages for
+# small tables and small tail deltas at ANY scale — the row bound is a
+# proxy for "the whole delta fits in a fraction of one target-size file"
+# (64k rows x ~100 B ≈ 6 MB << the 64-512 MB target). Override with
+# SPARK_GRAFT_PACK_ROWS (0 disables packing).
+PACK_ROWS_DEFAULT = 65536
+_PACKED_MARK = "-packed"
+
+
+def _is_packed(rel_dir: str) -> bool:
+    return os.path.basename(rel_dir).endswith(_PACKED_MARK)
+
 
 # Driver-resident commit accounting: time spent in the commit PROTOCOL
 # itself (manifest serialization, fsync, pointer flip, checkpoint file) —
@@ -170,6 +190,12 @@ class SnapshotTable:
         # columns whose per-dir min/max zone maps are kept in the manifest
         # (numeric only); enables bucket_stats() pruning for readers
         self.stats_cols = list(stats_cols or [])
+        self.pack_rows_max = int(
+            os.environ.get("SPARK_GRAFT_PACK_ROWS", str(PACK_ROWS_DEFAULT))
+        )
+        # per-bucket stats for freshly written packed dirs, keyed by rel
+        # dir, consumed by the next _commit's dir_stats assembly
+        self._packed_pb: dict[str, dict] = {}
         self._commit_lock = threading.RLock()
         os.makedirs(os.path.join(self.dir, "manifests"), exist_ok=True)
         os.makedirs(os.path.join(self.dir, "data"), exist_ok=True)
@@ -216,7 +242,9 @@ class SnapshotTable:
             if buckets is not None and self.partitioned and int(b) not in buckets:
                 continue  # manifest-level partition pruning
             out.extend(dirs)
-        return out
+        # a packed dir is registered under every bucket it contains — dedup
+        # so multi-bucket selections scan the shared file exactly once
+        return list(dict.fromkeys(out))
 
     def read(
         self,
@@ -234,9 +262,19 @@ class SnapshotTable:
         if self.schema_ddl:
             # explicit schema: no per-file footer schema merge on wide reads
             reader = reader.schema(self.schema_ddl)
+        # pruned read of a packed (shared, multi-bucket) dir: the scan sees
+        # the whole small file, so re-apply the bucket predicate as a row
+        # filter — a no-op for rows from exclusive per-bucket dirs
+        def _prune(df: DataFrame) -> DataFrame:
+            if buckets is not None and any(_is_packed(d) for d in rel_dirs):
+                return df.filter(F.col(BUCKET_COL).isin([int(b) for b in buckets]))
+            return df
+
         tomb_dirs = self._selected(snap, snap.deletes, buckets)
         if not tomb_dirs:
-            return reader.parquet(*(os.path.join(self.dir, d) for d in rel_dirs))
+            return _prune(
+                reader.parquet(*(os.path.join(self.dir, d) for d in rel_dirs))
+            )
         # merge-on-read: apply equality tombstones at scan time. Data dirs
         # are grouped by commit sequence (few groups — compaction bounds
         # them), tombstones aggregated to max seq per key; a row survives
@@ -264,7 +302,8 @@ class SnapshotTable:
             tombs = part if tombs is None else tombs.unionByName(part)
         tomb_agg = tombs.groupBy(key).agg(F.max("_seq").alias("_tmax"))
         return (
-            data.join(tomb_agg, on=key, how="left")
+            _prune(data)  # tombstone superset from packed dirs is harmless
+            .join(tomb_agg, on=key, how="left")
             .filter(F.col("_tmax").isNull() | (F.col("_seq") >= F.col("_tmax")))
             .drop("_seq", "_tmax")
         )
@@ -274,8 +313,31 @@ class SnapshotTable:
 
     # ------------------------------------------------------------- writing
 
-    def _write_data(self, df: DataFrame, op: str) -> dict[str, list[str]]:
-        """Write df partitioned by bucket; return {bucket: [reldir]}."""
+    def _write_data(
+        self, df: DataFrame, op: str, pack_rows: int | None = None
+    ) -> dict[str, list[str]]:
+        """Write df partitioned by bucket; return {bucket: [reldir]}.
+
+        ``pack_rows``: caller's (upper-bound) row-count hint. When it is at
+        or under ``pack_rows_max`` the whole delta is written as ONE shared
+        dir/file registered under every bucket present (see PACK_ROWS_*
+        rationale at module top). ``repartition(1)`` (not coalesce: coalesce
+        would collapse the parallelism of the producing plan) bounds the
+        write to a single target-size-fraction file.
+        """
+        if (
+            self.partitioned
+            and pack_rows is not None
+            and 0 < self.pack_rows_max
+            and pack_rows <= self.pack_rows_max
+        ):
+            rel = os.path.join("data", f"snap-{uuid.uuid4().hex[:12]}-{op}{_PACKED_MARK}")
+            out = os.path.join(self.dir, rel)
+            df.repartition(1).write.mode("overwrite").parquet(out)
+            present, pb = self._packed_readback(out)
+            if self.stats_cols:
+                self._packed_pb[rel] = pb
+            return {str(b): [rel] for b in present}
         rel = os.path.join("data", f"snap-{uuid.uuid4().hex[:12]}-{op}")
         out = os.path.join(self.dir, rel)
         if not self.partitioned:
@@ -300,6 +362,69 @@ class SnapshotTable:
 
     def next_sid(self) -> int:
         return max(self.history()) + 1
+
+    def _packed_readback(self, out_abs: str) -> tuple[list[int], dict]:
+        """Driver-side per-bucket census of a freshly written packed dir.
+
+        A packed dir spans buckets, so the manifest needs (a) which buckets
+        to register it under and (b) exact per-bucket zone maps — a packed
+        dir's footer stats cover the whole file and would otherwise
+        overcount every bucket's row bound, which `_frontier_scan_buckets`
+        rule 2 relies on as a LOWER bound (unsound pruning). The dir is by
+        definition small (<= pack_rows_max rows), so reading the bucket +
+        stats columns with pyarrow on the driver costs ~ms and is counted
+        as driver commit time."""
+        global _driver_commit_ns
+        import pyarrow.parquet as pq
+
+        t0 = time.perf_counter_ns()
+        import pyarrow as pa
+
+        files = sorted(
+            fn for fn in os.listdir(out_abs) if fn.endswith(".parquet")
+        )
+        if not files:
+            with _driver_commit_lock:
+                _driver_commit_ns += time.perf_counter_ns() - t0
+            return [], {}
+        # stats columns may be absent (e.g. tombstone key files carry only
+        # (key, bucket)): request only what the file actually has — absent
+        # columns are simply omitted from the zone maps ("unbounded")
+        have = set(pq.read_schema(os.path.join(out_abs, files[0])).names)
+        stat_cols = [
+            c for c in self.stats_cols if c != BUCKET_COL and c in have
+        ]
+        cols = [BUCKET_COL] + stat_cols
+        parts = [
+            pq.read_table(os.path.join(out_abs, fn), columns=cols)
+            for fn in files
+        ]
+        tbl = pa.concat_tables(parts) if len(parts) > 1 else parts[0]
+        aggs = [(BUCKET_COL, "count")] + [
+            (c, fn) for c in stat_cols for fn in ("min", "max")
+        ]
+        g = tbl.group_by(BUCKET_COL).aggregate(aggs).to_pydict()
+        pb: dict[str, dict] = {}
+        for i, b in enumerate(g[BUCKET_COL]):
+            lo: dict[str, Any] = {}
+            hi: dict[str, Any] = {}
+            for c in self.stats_cols:
+                if c != BUCKET_COL and c not in stat_cols:
+                    continue  # column absent from this file: unbounded
+                vlo = b if c == BUCKET_COL else g[f"{c}_min"][i]
+                vhi = b if c == BUCKET_COL else g[f"{c}_max"][i]
+                if (
+                    vlo is None or vhi is None
+                    or isinstance(vlo, bool)
+                    or not isinstance(vlo, (int, float))
+                ):
+                    continue  # non-numeric/missing: omitted = "unbounded"
+                lo[c] = vlo
+                hi[c] = vhi
+            pb[str(b)] = {"n": g[f"{BUCKET_COL}_count"][i], "lo": lo, "hi": hi}
+        with _driver_commit_lock:
+            _driver_commit_ns += time.perf_counter_ns() - t0
+        return sorted(int(b) for b in pb), pb
 
     def _footer_stats(self, rel_dirs: list[str]) -> dict[str, dict]:
         """Gather {n, lo, hi} per data dir from parquet footers — the same
@@ -366,6 +491,24 @@ class SnapshotTable:
         if not self.stats_cols or not self.partitioned:
             return None
         snap = self.snapshot(snapshot_id)
+
+        def _bucket_view(d: str, b: str) -> dict | None:
+            """This dir's stats AS SEEN BY bucket b, or None -> fall back.
+
+            Packed dirs span buckets: use the exact per-bucket zone maps
+            recorded at write time; whole-file stats would overcount b's
+            row bound (rule-2 pruning needs a lower bound) and a packed
+            dir without them is unusable for pruning."""
+            s = snap.dir_stats.get(d)
+            if s is None:
+                return None
+            if _is_packed(d):
+                pb = s.get("pb")
+                if pb is None:
+                    return None
+                return pb.get(b, {"n": 0, "lo": {}, "hi": {}})
+            return s
+
         out: dict[int, dict] = {}
         for b, dirs in snap.entries.items():
             if b == "all":
@@ -374,7 +517,7 @@ class SnapshotTable:
             lo: dict[str, Any] = {}
             hi: dict[str, Any] = {}
             for d in dirs:
-                s = snap.dir_stats.get(d)
+                s = _bucket_view(d, b)
                 if s is None:
                     return None
                 n += s["n"]
@@ -387,7 +530,7 @@ class SnapshotTable:
                     hi[c] = max(hi.get(c, s["hi"][c]), s["hi"][c])
             tomb = 0
             for d in snap.deletes.get(b, []):
-                s = snap.dir_stats.get(d)
+                s = _bucket_view(d, b)
                 if s is None:
                     return None
                 tomb += s["n"]
@@ -423,6 +566,14 @@ class SnapshotTable:
                 self._footer_stats([d for d in sorted(live) if d not in dir_stats])
             )
             dir_stats = {d: s for d, s in dir_stats.items() if d in live}
+            # packed dirs span buckets: attach the exact per-bucket zone
+            # maps computed at write time (whole-file footer stats would
+            # overcount every registered bucket — see _packed_readback)
+            for d in list(dir_stats):
+                if _is_packed(d) and "pb" not in dir_stats[d]:
+                    pb = self._packed_pb.pop(d, None)
+                    if pb is not None:
+                        dir_stats[d] = {**dir_stats[d], "pb": pb}
         snap = Snapshot(
             sid, parent, op, entries, summary, deletes, dir_seq, dir_stats
         )
@@ -432,10 +583,16 @@ class SnapshotTable:
         return sid
 
     @_locked
-    def append(self, df: DataFrame, summary: dict | None = None, set_pointer: bool = True) -> int:
+    def append(
+        self,
+        df: DataFrame,
+        summary: dict | None = None,
+        set_pointer: bool = True,
+        pack_rows: int | None = None,
+    ) -> int:
         sid = self.next_sid()
         cur = self.snapshot()
-        new = self._write_data(df, "append")
+        new = self._write_data(df, "append", pack_rows=pack_rows)
         merged = {b: list(dirs) for b, dirs in cur.entries.items()}
         dir_seq = dict(cur.dir_seq)
         for b, dirs in new.items():
@@ -448,8 +605,14 @@ class SnapshotTable:
         )
 
     @_locked
-    def overwrite(self, df: DataFrame, summary: dict | None = None, set_pointer: bool = True) -> int:
-        new = self._write_data(df, "overwrite")
+    def overwrite(
+        self,
+        df: DataFrame,
+        summary: dict | None = None,
+        set_pointer: bool = True,
+        pack_rows: int | None = None,
+    ) -> int:
+        new = self._write_data(df, "overwrite", pack_rows=pack_rows)
         return self._commit(new, "overwrite", summary or {}, set_pointer)
 
     @_locked
@@ -462,6 +625,7 @@ class SnapshotTable:
         set_pointer: bool = True,
         touched: list[int] | None = None,
         preserve_cols: list[str] | None = None,
+        pack_rows: int | None = None,
     ) -> int:
         """MERGE INTO self USING delta ON key — last-writer-wins, COW.
 
@@ -492,6 +656,12 @@ class SnapshotTable:
         if touched is None:
             touched = [r[0] for r in delta.select(BUCKET_COL).distinct().collect()]
         cur = self.snapshot()
+        # packed parent dirs are shared across buckets: rewriting SOME of a
+        # packed dir's buckets while other buckets keep referencing it would
+        # resurrect the rewritten buckets' stale rows on full reads — extend
+        # the rewrite to every co-resident bucket (packed dirs are small by
+        # construction, so the extra rewrite is bounded)
+        touched = self._expand_touched_for_packed(cur.entries, touched)
         sid = self.next_sid()
         entries = {b: list(d) for b, d in cur.entries.items()}
         deletes = {b: list(d) for b, d in cur.deletes.items()}
@@ -509,7 +679,9 @@ class SnapshotTable:
             rewritten = delta.limit(0)
         new_only = delta.filter(~F.col(BUCKET_COL).isin(have)) if have else delta
         out = rewritten.unionByName(new_only)
-        new_entries = self._write_data(out, "merge")
+        # pack_rows is the caller's bound on the REWRITTEN OUTPUT (touched
+        # buckets' current rows + delta), not just the delta
+        new_entries = self._write_data(out, "merge", pack_rows=pack_rows)
         for b in touched:
             entries[str(b)] = []
             deletes.pop(str(b), None)  # COW rewrite folds tombstones in
@@ -523,6 +695,34 @@ class SnapshotTable:
             entries, "merge", summary or {}, set_pointer,
             deletes=deletes, dir_seq=dir_seq,
         )
+
+    @staticmethod
+    def _expand_touched_for_packed(
+        entries: dict[str, list[str]], touched
+    ) -> list[int]:
+        """Close ``touched`` over shared packed dirs (fully-live-or-dead).
+
+        A packed dir registered under buckets {a, b, c} must be dropped
+        from ALL of them when any one is rewritten; dropping it pulls its
+        other buckets into the rewrite, which may reference further packed
+        dirs — iterate to the (bounded) fixed point."""
+        touched = set(touched)
+        while True:
+            sel = {
+                d
+                for b in touched
+                for d in entries.get(str(b), [])
+                if _is_packed(d)
+            }
+            grew = False
+            for b, dirs in entries.items():
+                if int(b) in touched:
+                    continue
+                if any(d in sel for d in dirs):
+                    touched.add(int(b))
+                    grew = True
+            if not grew:
+                return sorted(touched)
 
     @staticmethod
     def _apply_preserve(
@@ -548,6 +748,8 @@ class SnapshotTable:
         touched: list[int] | None = None,
         mode: str = "cow",
         tombstone_dirs: dict[str, list[str]] | None = None,
+        pack_rows: int | None = None,
+        tombstone_pack_rows: int | None = None,
     ) -> int:
         """MERGE with WHEN MATCHED DELETE + NOT MATCHED INSERT semantics.
 
@@ -567,7 +769,8 @@ class SnapshotTable:
         if mode == "mor":
             return self._merge_delta_mor(
                 spark, delete_keys, inserts, key, summary or {}, set_pointer,
-                tombstone_dirs=tombstone_dirs,
+                tombstone_dirs=tombstone_dirs, pack_rows=pack_rows,
+                tombstone_pack_rows=tombstone_pack_rows,
             )
         entries = {b: list(d) for b, d in self.snapshot().entries.items()}
         if touched is None:
@@ -584,6 +787,9 @@ class SnapshotTable:
             touched = set(touched)
             if delete_keys is not None:
                 delete_keys = delete_keys.select(key, BUCKET_COL)
+        # shared packed parents: same fully-live-or-dead closure as
+        # merge_upsert (see _expand_touched_for_packed)
+        touched = set(self._expand_touched_for_packed(entries, touched))
         have = [b for b in touched if str(b) in entries]
         parts = []
         if have:
@@ -603,7 +809,7 @@ class SnapshotTable:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        new_entries = self._write_data(out, "mergedelta")
+        new_entries = self._write_data(out, "mergedelta", pack_rows=pack_rows)
         cur = self.snapshot()
         sid = self.next_sid()
         deletes = {b: list(d) for b, d in cur.deletes.items()}
@@ -625,7 +831,7 @@ class SnapshotTable:
         )
 
     def prepare_tombstone(
-        self, delete_keys: DataFrame, key: str
+        self, delete_keys: DataFrame, key: str, pack_rows: int | None = None
     ) -> dict[str, list[str]]:
         """Pre-write a MOR tombstone key-file set for a later
         ``merge_delta(mode="mor", tombstone_dirs=...)``. The written dirs are
@@ -633,7 +839,9 @@ class SnapshotTable:
         leaves orphans the compaction GC collects), so callers may overlap
         this write with other work — the crawl engine writes the epoch's
         tombstone during link expansion, taking it off the commit tail."""
-        return self._write_data(delete_keys.select(key, BUCKET_COL), "mordelete")
+        return self._write_data(
+            delete_keys.select(key, BUCKET_COL), "mordelete", pack_rows=pack_rows
+        )
 
     def _merge_delta_mor(
         self,
@@ -644,6 +852,8 @@ class SnapshotTable:
         summary: dict,
         set_pointer: bool,
         tombstone_dirs: dict[str, list[str]] | None = None,
+        pack_rows: int | None = None,
+        tombstone_pack_rows: int | None = None,
     ) -> int:
         cur = self.snapshot()
         sid = self.next_sid()
@@ -658,28 +868,36 @@ class SnapshotTable:
         if tombstone_dirs is not None:
             tomb = tombstone_dirs
             if inserts is not None:
-                new = self._write_data(inserts, "morinsert")
+                new = self._write_data(inserts, "morinsert", pack_rows=pack_rows)
         elif inserts is not None and delete_keys is not None:
             insert_res: dict = {}
 
             def _write_inserts():
                 try:
-                    insert_res["new"] = self._write_data(inserts, "morinsert")
+                    insert_res["new"] = self._write_data(
+                        inserts, "morinsert", pack_rows=pack_rows
+                    )
                 except BaseException as e:
                     insert_res["err"] = e
 
             th = threading.Thread(target=_write_inserts, name="mor-insert")
             th.start()
-            tomb = self._write_data(delete_keys.select(key, BUCKET_COL), "mordelete")
+            tomb = self._write_data(
+                delete_keys.select(key, BUCKET_COL), "mordelete",
+                pack_rows=tombstone_pack_rows,
+            )
             th.join()
             if "err" in insert_res:
                 raise insert_res["err"]
             new = insert_res["new"]
         else:
             if inserts is not None:
-                new = self._write_data(inserts, "morinsert")
+                new = self._write_data(inserts, "morinsert", pack_rows=pack_rows)
             tomb = (
-                self._write_data(delete_keys.select(key, BUCKET_COL), "mordelete")
+                self._write_data(
+                    delete_keys.select(key, BUCKET_COL), "mordelete",
+                    pack_rows=tombstone_pack_rows,
+                )
                 if delete_keys is not None
                 else None
             )
@@ -716,13 +934,42 @@ class SnapshotTable:
         return max(data, tomb)
 
     @_locked
-    def compact(self, spark: SparkSession, summary: dict | None = None) -> int:
+    def compact(
+        self,
+        spark: SparkSession,
+        summary: dict | None = None,
+        pack_rows: int | None = None,
+    ) -> int:
         """Rewrite the table so each bucket is one data dir (Iceberg
         rewrite_data_files): appends accumulate dirs per bucket; compaction
-        bounds read amplification."""
+        bounds read amplification. ``pack_rows`` (caller's upper bound on
+        LIVE rows, e.g. from manifest stats or an engine-side estimate)
+        lets a small table compact to one packed file instead of one file
+        per bucket."""
         if self.is_empty():
             return self.current_snapshot_id()
-        return self.overwrite(self.read(spark), summary or {"op": "compact"})
+        if pack_rows is None and self.stats_cols:
+            # manifest-derived bound: sum of per-dir data rows (ignores
+            # tombstones, so it over-counts — conservative for packing)
+            snap = self.snapshot()
+            seen_dirs: set[str] = set()
+            total = 0
+            for dirs in snap.entries.values():
+                for d in dirs:
+                    if d in seen_dirs:
+                        continue
+                    seen_dirs.add(d)
+                    s = snap.dir_stats.get(d)
+                    if s is None:
+                        total = None
+                        break
+                    total += s["n"]
+                if total is None:
+                    break
+            pack_rows = total
+        return self.overwrite(
+            self.read(spark), summary or {"op": "compact"}, pack_rows=pack_rows
+        )
 
     @_locked
     def expire_snapshots(self, keep_last: int = 10) -> None:

@@ -286,3 +286,123 @@ def test_merge_delta_mor_pre_written_tombstone(spark, cat):
     )
     got2 = {r["k"]: r["v"] for r in t2.read(spark).collect()}
     assert got2 == got
+
+
+# ------------------------------------------------------------- packed commits
+
+
+def test_packed_append_single_shared_dir_reads_identically(spark, cat):
+    t = cat.table("t", DDL)
+    rows = [(i, i % 5, f"v{i}") for i in range(50)]
+    t.append(_df(spark, rows), pack_rows=50)
+    snap = t.snapshot()
+    dirs = {d for ds in snap.entries.values() for d in ds}
+    assert len(dirs) == 1 and all(d.endswith("-packed") for d in dirs)
+    assert set(snap.entries) == {str(b) for b in range(5)}  # per-bucket reg
+    got = {(r["k"], r["bucket"], r["v"]) for r in t.read(spark).collect()}
+    assert got == set(rows)
+
+
+def test_packed_bucket_pruned_read_filters_shared_file(spark, cat):
+    t = cat.table("t", DDL)
+    t.append(_df(spark, [(i, i % 4, "x") for i in range(40)]), pack_rows=40)
+    got = {r["k"] for r in t.read(spark, buckets=[1, 3]).collect()}
+    assert got == {i for i in range(40) if i % 4 in (1, 3)}
+
+
+def test_packed_and_unpacked_dirs_mix_in_one_table(spark, cat):
+    t = cat.table("t", DDL)
+    t.append(_df(spark, [(1, 0, "a"), (2, 1, "b")]))  # per-bucket dirs
+    t.append(_df(spark, [(3, 0, "c"), (4, 2, "d")]), pack_rows=2)  # packed
+    assert {r["k"] for r in t.read(spark).collect()} == {1, 2, 3, 4}
+    assert {r["k"] for r in t.read(spark, buckets=[0]).collect()} == {1, 3}
+
+
+def test_packed_over_threshold_falls_back_to_bucket_dirs(spark, cat):
+    t = cat.table("t", DDL)
+    t.pack_rows_max = 10
+    t.append(_df(spark, [(i, i % 3, "x") for i in range(30)]), pack_rows=30)
+    dirs = {d for ds in t.snapshot().entries.values() for d in ds}
+    assert not any(d.endswith("-packed") for d in dirs)
+
+
+def test_packed_bucket_stats_are_exact_per_bucket(spark, cat):
+    # a packed dir spans buckets; stats must NOT overcount each bucket
+    t = cat.table("t", DDL, stats_cols=["k"])
+    rows = [(i, i % 3, "x") for i in range(12)]  # 4 rows per bucket
+    t.append(_df(spark, rows), pack_rows=12)
+    stats = t.bucket_stats()
+    assert stats is not None
+    for b in range(3):
+        ks = [k for k, bb, _ in rows if bb == b]
+        assert stats[b]["n"] == 4
+        assert stats[b]["lo"]["k"] == min(ks)
+        assert stats[b]["hi"]["k"] == max(ks)
+
+
+def test_packed_mor_tombstone_read_and_stats(spark, cat):
+    t = cat.table("t", DDL, stats_cols=["k"])
+    t.append(_df(spark, [(i, i % 2, "x") for i in range(8)]), pack_rows=8)
+    deletes = _df(spark, [(0, 0, "x"), (1, 1, "x")]).select("k", "bucket")
+    inserts = _df(spark, [(100, 0, "new")])
+    t.merge_delta(
+        spark, deletes, inserts, "k", mode="mor",
+        pack_rows=1, tombstone_pack_rows=2,
+    )
+    got = {r["k"] for r in t.read(spark).collect()}
+    assert got == {2, 3, 4, 5, 6, 7, 100}
+    # packed tombstone dirs: per-bucket tomb counts stay exact
+    stats = t.bucket_stats()
+    assert stats is not None
+    assert stats[0]["tomb"] == 1 and stats[1]["tomb"] == 1
+    # pruned MOR read through packed data + packed tombstones
+    got0 = {r["k"] for r in t.read(spark, buckets=[0]).collect()}
+    assert got0 == {2, 4, 6, 100}
+
+
+def test_packed_merge_upsert_and_compact(spark, cat):
+    t = cat.table("t", DDL, stats_cols=["k"])
+    t.append(_df(spark, [(1, 0, "a"), (2, 1, "b")]), pack_rows=2)
+    t.merge_upsert(spark, _df(spark, [(2, 1, "B"), (4, 3, "d")]), "k", pack_rows=4)
+    got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert got == {1: "a", 2: "B", 4: "d"}
+    # compact uses the manifest row bound -> packs the small table to 1 dir
+    t.compact(spark)
+    dirs = {d for ds in t.snapshot().entries.values() for d in ds}
+    assert len(dirs) == 1 and all(d.endswith("-packed") for d in dirs)
+    assert {r["k"]: r["v"] for r in t.read(spark).collect()} == got
+
+
+def test_packed_prewritten_tombstone_roundtrip(spark, cat):
+    t = cat.table("t", DDL)
+    t.append(_df(spark, [(i, i % 2, "x") for i in range(6)]), pack_rows=6)
+    tomb = t.prepare_tombstone(
+        _df(spark, [(0, 0, "x"), (3, 1, "x")]).select("k", "bucket"),
+        "k", pack_rows=2,
+    )
+    assert all(
+        d.endswith("-packed") for dirs in tomb.values() for d in dirs
+    ) and set(tomb) == {"0", "1"}
+    t.merge_delta(
+        spark, None, _df(spark, [(9, 0, "ins")]), "k",
+        mode="mor", tombstone_dirs=tomb, pack_rows=1,
+    )
+    assert {r["k"] for r in t.read(spark).collect()} == {1, 2, 4, 5, 9}
+
+
+def test_packed_partial_merge_does_not_resurrect_stale_rows(spark, cat):
+    # regression: packed dir under buckets {0,1,2}; merging only bucket 1
+    # must drop the shared dir from ALL buckets (fully-live-or-dead), or a
+    # full read resurrects bucket-1's old row via bucket 0/2's registration
+    t = cat.table("t", DDL)
+    t.append(_df(spark, [(1, 0, "a"), (2, 1, "b"), (3, 2, "c")]), pack_rows=3)
+    t.merge_upsert(spark, _df(spark, [(2, 1, "B")]), "k", pack_rows=4)
+    rows = t.read(spark).collect()
+    assert len(rows) == 3
+    assert {r["k"]: r["v"] for r in rows} == {1: "a", 2: "B", 3: "c"}
+    # same through merge_delta COW
+    t.merge_delta(spark, _df(spark, [(3, 2, "x")]).select("k", "bucket"),
+                  _df(spark, [(7, 2, "g")]), "k", pack_rows=4)
+    rows = t.read(spark).collect()
+    assert len(rows) == 3
+    assert {r["k"]: r["v"] for r in rows} == {1: "a", 2: "B", 7: "g"}
