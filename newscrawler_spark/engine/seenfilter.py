@@ -214,6 +214,36 @@ class SeenBloom:
     def __init__(self, table: SnapshotTable):
         self.table = table
 
+    # ------------------------------------------------------- metadata
+
+    def _meta(self, spark: SparkSession) -> dict[int, tuple[int, int]]:
+        """{bucket: (m, n_items)} for the CURRENT bloom snapshot.
+
+        The writers (add_keys / rebuild_buckets) already hold these dicts
+        driver-side and stamp them into the manifest summary
+        (``bloom_meta``), so readers get them for free — split_new's
+        broadcast-size decision and add_keys' resize check used to each
+        run a column-pruned read + collect job per epoch just to recover
+        what the previous commit already knew. Falls back to the collect
+        for tables written before this scheme (or by another writer).
+        Manifest growth is O(bucket_count) smallints — the same order as
+        the manifest's per-bucket entries themselves."""
+        if self.table.is_empty():
+            return {}
+        summ = self.table.snapshot().summary.get("bloom_meta")
+        if summ is not None:
+            return {int(b): (int(mn[0]), int(mn[1])) for b, mn in summ.items()}
+        return {
+            r["bucket"]: (int(r["m"]), int(r["n_items"]))
+            for r in self.table.read(spark)
+            .select("bucket", "m", "n_items")
+            .collect()
+        }
+
+    @staticmethod
+    def _meta_summary(meta: dict[int, tuple[int, int]]) -> dict:
+        return {"bloom_meta": {str(b): [m, n] for b, (m, n) in meta.items()}}
+
     def rebuild_buckets(
         self, spark: SparkSession, seen: SnapshotTable, buckets: list[int]
     ) -> int:
@@ -260,7 +290,12 @@ class SeenBloom:
         # scatter (see _scatter_words_agg — ~7x smaller exchange at 10^8)
         dense = _scatter_words_agg(pos).join(F.broadcast(counts_df), on="bucket")
         dense = dense.select("bucket", "words", "m", "n_items")
-        return self.table.merge_upsert(spark, dense, "bucket", set_pointer=True)
+        meta = self._meta(spark)
+        meta.update({b: (_m_for(BUILD_HEADROOM * n), n) for b, n in counts.items()})
+        return self.table.merge_upsert(
+            spark, dense, "bucket", set_pointer=True,
+            summary=self._meta_summary(meta),
+        )
 
     def add_keys(
         self,
@@ -290,14 +325,7 @@ class SeenBloom:
             }
         if not counts:
             return []
-        meta = (
-            {}
-            if self.table.is_empty()
-            else {
-                r["bucket"]: (int(r["m"]), int(r["n_items"]))
-                for r in self.table.read(spark).select("bucket", "m", "n_items").collect()
-            }
-        )
+        meta = self._meta(spark)
         resize = [
             b
             for b, c in counts.items()
@@ -343,7 +371,11 @@ class SeenBloom:
         # generic path re-read the table and anti-joined the delta keys,
         # two extra stages per epoch on the maintenance path
         full = old.filter(~F.col("bucket").isin(list(ok))).unionByName(merged)
-        self.table.overwrite(full, {"op": "bloom_add"})
+        new_meta = dict(meta)
+        new_meta.update({b: (meta[b][0], meta[b][1] + counts[b]) for b in ok})
+        self.table.overwrite(
+            full, {"op": "bloom_add", **self._meta_summary(new_meta)}
+        )
         return sorted(resize)
 
     def split_new(
@@ -376,8 +408,9 @@ class SeenBloom:
         # bucket-partitioned from select_batch, so only the tiny bloom side
         # moves); at the 10^10-seen design point the bitmaps total ~9 GB
         # and an unconditional broadcast would sink every executor.
-        meta = self.table.read(spark).select("bucket", "m").collect()
-        total_bytes = sum(int(r["m"]) // 8 for r in meta)
+        # manifest-carried metadata: no per-epoch read+collect job just to
+        # size the broadcast decision (see _meta)
+        total_bytes = sum(m // 8 for m, _ in self._meta(spark).values())
         if total_bytes <= BROADCAST_BLOOM_BYTES:
             blooms = F.broadcast(blooms)
         probed = disc.join(blooms, on="bucket", how="left")
