@@ -318,7 +318,9 @@ class CrawlEngine:
                 ),
             )
         )
-        self.host_state.overwrite(hosts, {"rows": "robots_bootstrap"})
+        self.host_state.overwrite(
+            hosts, {"rows": "robots_bootstrap"}, pack_rows=cfg.n_hosts
+        )
         # warm the expansion's one-off config dims here with the other
         # admission dims (robots cache above, blocklist): they are pure
         # functions of the config, every epoch needs them, and building
@@ -540,7 +542,9 @@ class CrawlEngine:
             self.frontier.append(s, {"op": "requeue"}, pack_rows=int(n))
             # record the re-queued keys: they are the only keys that can be
             # cache hits, and the epoch's split is bounded by this table
-            self.requeue_pending.append(s.select("url_hash", "bucket"))
+            self.requeue_pending.append(
+                s.select("url_hash", "bucket"), pack_rows=int(n)
+            )
             if self._frontier_est is not None:
                 self._frontier_est += n
             ck = self.catalog.last_checkpoint()
@@ -1182,14 +1186,17 @@ class CrawlEngine:
                 "host", "host_hash", "bucket", "last_epoch", "fetch_count",
                 F.lit(True).alias("robots_allowed"),  # fetched => was admitted
             )
-            return self.host_state.merge_upsert(spark, host_delta, "host")
+            return self.host_state.merge_upsert(
+                spark, host_delta, "host", pack_rows=cfg.n_hosts
+            )
 
         def order_task():
             return self.crawl_order.append(
                 batch.select(
                     F.lit(epoch).alias("epoch"), "url_hash", "bucket", "host",
                     "priority", "discovered_at",
-                )
+                ),
+                pack_rows=int(n_batch),
             )
 
         pool = ThreadPoolExecutor(max_workers=8) if cfg.parallel_commit else None
@@ -1383,7 +1390,12 @@ class CrawlEngine:
                     ],
                     FETCH_LOG_DDL,
                 )
-                return self.fetch_log.append(log)
+                return self.fetch_log.append(
+                    log,
+                    pack_rows=len(
+                        set(log_by_bucket) | set(disc_by_bucket) | set(cached_counts)
+                    ),
+                )
 
             def pending_task():
                 # scheduled re-queued keys leave the pending table whether they

@@ -244,6 +244,17 @@ class SeenBloom:
     def _meta_summary(meta: dict[int, tuple[int, int]]) -> dict:
         return {"bloom_meta": {str(b): [m, n] for b, (m, n) in meta.items()}}
 
+    @staticmethod
+    def _pack_hint(meta: dict[int, tuple[int, int]]) -> int | None:
+        """Row hint for a single-file bloom-table write, or None.
+
+        The generic pack threshold assumes ~100 B rows; bloom rows carry
+        m/8-byte bitmaps, so gate on actual bitmap bytes (<= 64 MB -> one
+        file is comfortably under any target file size, and one write
+        task handles it) instead of the row count."""
+        total_bytes = sum(m // 8 for m, _ in meta.values())
+        return len(meta) if total_bytes <= 64 * 1024 * 1024 else None
+
     def rebuild_buckets(
         self, spark: SparkSession, seen: SnapshotTable, buckets: list[int]
     ) -> int:
@@ -295,6 +306,7 @@ class SeenBloom:
         return self.table.merge_upsert(
             spark, dense, "bucket", set_pointer=True,
             summary=self._meta_summary(meta),
+            pack_rows=self._pack_hint(meta),
         )
 
     def add_keys(
@@ -374,7 +386,8 @@ class SeenBloom:
         new_meta = dict(meta)
         new_meta.update({b: (meta[b][0], meta[b][1] + counts[b]) for b in ok})
         self.table.overwrite(
-            full, {"op": "bloom_add", **self._meta_summary(new_meta)}
+            full, {"op": "bloom_add", **self._meta_summary(new_meta)},
+            pack_rows=self._pack_hint(new_meta),
         )
         return sorted(resize)
 

@@ -341,6 +341,16 @@ class SnapshotTable:
         rel = os.path.join("data", f"snap-{uuid.uuid4().hex[:12]}-{op}")
         out = os.path.join(self.dir, rel)
         if not self.partitioned:
+            # same small-files rule for unpartitioned tables: a sub-
+            # threshold delta has no business writing one ~KB file per
+            # shuffle partition (host_state/fetch_log/crawl_order wrote
+            # 32-64 tiny files per epoch commit)
+            if (
+                pack_rows is not None
+                and 0 < self.pack_rows_max
+                and pack_rows <= self.pack_rows_max
+            ):
+                df = df.repartition(1)
             df.write.mode("overwrite").parquet(out)
             return {"all": [rel]}
         (
@@ -649,7 +659,7 @@ class SnapshotTable:
                     delta = self._apply_preserve(current, delta, key, preserve_cols)
                 kept = current.join(delta.select(key).distinct(), on=key, how="left_anti")
                 delta = kept.unionByName(delta)
-            new_entries = self._write_data(delta, "merge")
+            new_entries = self._write_data(delta, "merge", pack_rows=pack_rows)
             return self._commit(new_entries, "merge", summary or {}, set_pointer)
 
         delta = delta.cache()
